@@ -1,0 +1,36 @@
+"""ilqr_tpu — a TPU-native trajectory-optimization (iLQR/DDP) framework.
+
+Functional, pytree-based redesign of
+MohamedAbou-Taleb/Iterative-Linear-Quadratic-Regulator: pure-function systems,
+a fully on-device solver loop, associative-scan parallel Riccati, batched MPC
+over device meshes, and horizon sharding across chips.
+"""
+from ilqr_tpu.models.base import System, INTEGRATORS
+from ilqr_tpu.models.pendulum import make_pendulum
+from ilqr_tpu.models.double_pendulum import make_double_pendulum
+from ilqr_tpu.models.linear import make_lti, cont2disc
+from ilqr_tpu.ops.integrators import step
+from ilqr_tpu.ops.rollout import rollout, closed_loop_rollout
+from ilqr_tpu.ops.linearize import linearize_trajectory, TrajectoryExpansion
+from ilqr_tpu.ops.riccati import backward_pass
+from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
+from ilqr_tpu.ops.lqr import lqr_solve, lqr_backward
+from ilqr_tpu.solver import (
+    solve,
+    IlqrConfig,
+    IlqrSolution,
+    CONVERGED,
+    LINESEARCH_FAILED,
+    MAXITER,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "System", "INTEGRATORS", "make_pendulum", "make_double_pendulum",
+    "make_lti", "cont2disc", "step", "rollout", "closed_loop_rollout",
+    "linearize_trajectory", "TrajectoryExpansion", "backward_pass",
+    "backward_pass_associative", "lqr_solve", "lqr_backward",
+    "solve", "IlqrConfig", "IlqrSolution",
+    "CONVERGED", "LINESEARCH_FAILED", "MAXITER",
+]

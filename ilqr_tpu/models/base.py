@@ -1,0 +1,91 @@
+"""System abstraction: pure-function dynamics + costs as a pytree dataclass.
+
+TPU-native redesign of the reference's stateful OO base class
+(`/root/reference/python/class_files/systems/system_base.py:9-275`): instead of a
+Python ABC that manufactures 13 jitted bound methods, a `System` here is a frozen
+pytree holding a parameter pytree and three *pure* functions
+
+    f_cont(params, x, u)        -> xdot          (continuous dynamics)
+    stage_cost(params, x, u)    -> scalar        (running cost l)
+    terminal_cost(params, x)    -> scalar        (terminal cost l_f)
+
+Everything else — discrete dynamics under four integrators, the full derivative
+surface (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, l_f_x, l_f_xx) — is derived on
+demand by JAX transforms in `ilqr_tpu.ops`, traced *once* inside the enclosing
+jitted solver rather than jitted piecemeal.  Because `System` is a pytree, it
+vmaps/shards/scans transparently: a batch of systems with different parameters
+is just a stacked pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+# Integrator names accepted framework-wide.  Mirrors the reference's set
+# (`system_base.py:77-198`).
+INTEGRATORS = ("euler", "midpoint", "rk4", "backward_euler")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class System:
+    """A controlled dynamical system with costs.
+
+    ``params`` is the only pytree leaf; all other fields are static metadata
+    (they participate in jit cache keys, so use module-level functions — not
+    per-call lambdas — for the three callables).
+    """
+
+    params: Any
+    n_x: int = dataclasses.field(metadata=dict(static=True))
+    n_u: int = dataclasses.field(metadata=dict(static=True))
+    dt: float = dataclasses.field(metadata=dict(static=True))
+    f_cont: Callable = dataclasses.field(metadata=dict(static=True))
+    stage_cost: Callable = dataclasses.field(metadata=dict(static=True))
+    terminal_cost: Callable = dataclasses.field(metadata=dict(static=True))
+    integrator: str = dataclasses.field(default="rk4", metadata=dict(static=True))
+    # Newton settings for the implicit backward-Euler integrator.  A *fixed*
+    # iteration count (vs the reference's tolerance-gated `lax.while_loop`,
+    # `system_base.py:105-139`) keeps the step vmap/shard/Pallas-friendly.
+    newton_iters: int = dataclasses.field(default=10, metadata=dict(static=True))
+
+    def replace(self, **kw) -> "System":
+        return dataclasses.replace(self, **kw)
+
+    def with_integrator(self, integrator: str) -> "System":
+        if integrator not in INTEGRATORS:
+            raise ValueError(
+                f"Unknown integrator {integrator!r}; supported: {INTEGRATORS}"
+            )
+        return self.replace(integrator=integrator)
+
+
+def quadratic_cost_params(x_target, Q, R, Q_f) -> dict:
+    """Standard quadratic tracking-cost parameter block shared by all models.
+
+    Model constructors add a ``dt`` entry (the stage cost is dt-scaled,
+    matching `pendulum_sys.py:87-89`).
+    """
+    return dict(
+        x_target=jnp.asarray(x_target),
+        Q=jnp.asarray(Q),
+        R=jnp.asarray(R),
+        Q_f=jnp.asarray(Q_f),
+    )
+
+
+def quadratic_stage_cost(params, x, u):
+    """l(x,u) = 0.5 (dx'Q dx + u'R u) * dt — dt-scaled, matching the reference
+    convention (`pendulum_sys.py:77-90`)."""
+    dx = x - params["x_target"]
+    return 0.5 * (dx @ params["Q"] @ dx + u @ params["R"] @ u) * params["dt"]
+
+
+def quadratic_terminal_cost(params, x):
+    """l_f(x) = 0.5 dx'Q_f dx — un-scaled (`pendulum_sys.py:92-98`)."""
+    dx = x - params["x_target"]
+    return 0.5 * dx @ params["Q_f"] @ dx

@@ -1,0 +1,88 @@
+"""Receding-horizon MPC — warm-started iLQR per step, fully on-device.
+
+Loop semantics mirror the reference MPC drivers
+(`/root/reference/python/run_iLQR_MPC.py:116-140`): at each simulated step,
+solve the horizon problem from the current state with a small iteration
+budget, apply only the first control, step a (possibly different) plant model,
+and shift-and-hold the solution as the next warm start
+(`U_guess = concat(U[1:], U[-1:])`, `run_iLQR_MPC.py:137`).
+
+TPU-native differences:
+* the entire simulation loop is one `lax.scan` — zero host round-trips for an
+  N_sim-step closed-loop run (the reference re-enters Python per step);
+* solver/plant model mismatch is first-class: two `System` pytrees (the
+  reference builds two instances with different integrators,
+  `run_iLQR_MPC.py:58-75`);
+* `run_mpc_batched` vmaps the whole closed loop over a batch of initial
+  states and shards the batch axis over a device mesh
+  (`ilqr_tpu.parallel.batch`) — the BASELINE.json "4096 vmapped MPC
+  instances" config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import System
+from ilqr_tpu.ops.integrators import step
+from ilqr_tpu.solver import IlqrConfig, solve
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MpcResult:
+    X: Any           # (N_sim+1, n_x) closed-loop state trajectory
+    U: Any           # (N_sim, n_u) applied controls
+    cost: Any        # scalar: accumulated true plant stage cost + terminal
+    solve_iters: Any  # (N_sim,) iLQR iterations used per step
+    solve_status: Any  # (N_sim,) per-step solver status
+
+
+def run_mpc(
+    solver_system: System,
+    plant_system: System,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+) -> MpcResult:
+    """Closed-loop MPC simulation. U_init: (N_horizon, n_u) first warm start."""
+
+    def mpc_step(carry, _):
+        x, U_warm = carry
+        sol = solve(solver_system, x, U_warm, config)
+        u0 = sol.U[0]
+        x_next = step(plant_system, x, u0)
+        # Shift-and-hold warm start (`run_iLQR_MPC.py:137`).
+        U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
+        c = plant_system.stage_cost(plant_system.params, x, u0)
+        return (x_next, U_next), (x, u0, c, sol.iterations, sol.status)
+
+    (x_N, _), (X_head, U, cs, iters, status) = jax.lax.scan(
+        mpc_step, (x0, U_init), None, length=n_sim
+    )
+    cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return MpcResult(X=X, U=U, cost=cost, solve_iters=iters, solve_status=status)
+
+
+def run_mpc_batched(
+    solver_system: System,
+    plant_system: System,
+    x0_batch: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+) -> MpcResult:
+    """vmap the full closed loop over a batch of initial states.
+
+    x0_batch: (B, n_x).  Every per-instance quantity gains a leading B axis.
+    Shard the batch axis over a mesh with
+    `ilqr_tpu.parallel.batch.shard_batch` before calling for multi-chip runs.
+    """
+    return jax.vmap(
+        lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
+    )(x0_batch)

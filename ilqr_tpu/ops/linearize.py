@@ -1,0 +1,86 @@
+"""Trajectory-wide dynamics linearization and cost quadratization.
+
+The reference evaluates the seven backward-pass derivative matrices *inside*
+the sequential Riccati scan, one timestep at a time
+(`/root/reference/python/class_files/iLQR_class.py:96-97,318-331`).  Here the
+entire derivative surface is computed in a single vmapped evaluation over the
+whole trajectory: the linearization stage becomes embarrassingly parallel over
+time (and over problem batches), leaving only the Riccati algebra sequential.
+On TPU this turns N tiny serial AD evaluations into one large batched program
+the compiler can tile.
+
+Layout convention (TPU-native, time-major):
+    X: (N+1, n_x)    U: (N, n_u)
+All stacked derivative arrays lead with the time axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import System
+from ilqr_tpu.ops.integrators import step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrajectoryExpansion:
+    """Stacked first/second-order expansion of dynamics and cost along (X, U).
+
+    Shapes (N = horizon length):
+        f_x:  (N, n_x, n_x)    f_u:  (N, n_x, n_u)
+        l_x:  (N, n_x)         l_u:  (N, n_u)
+        l_xx: (N, n_x, n_x)    l_ux: (N, n_u, n_x)   l_uu: (N, n_u, n_u)
+        v_x:  (n_x,)           v_xx: (n_x, n_x)      (terminal cost expansion)
+    """
+
+    f_x: Any
+    f_u: Any
+    l_x: Any
+    l_u: Any
+    l_xx: Any
+    l_ux: Any
+    l_uu: Any
+    v_x: Any
+    v_xx: Any
+
+
+def _stage_expansion(system: System, x, u):
+    """All seven per-step derivative blocks in one fused evaluation.
+
+    Derivative definitions follow the reference AD factory
+    (`system_base.py:203-216`): f_x/f_u by forward-mode on the discrete step,
+    l_x/l_u by gradient, l_xx/l_uu by Hessian, l_ux = d/dx (dl/du).
+    """
+    f = lambda xx, uu: step(system, xx, uu)
+    l = lambda xx, uu: system.stage_cost(system.params, xx, uu)
+
+    f_x = jax.jacfwd(f, argnums=0)(x, u)
+    f_u = jax.jacfwd(f, argnums=1)(x, u)
+    l_x = jax.grad(l, argnums=0)(x, u)
+    l_u = jax.grad(l, argnums=1)(x, u)
+    l_xx = jax.hessian(l, argnums=0)(x, u)
+    l_uu = jax.hessian(l, argnums=1)(x, u)
+    l_ux = jax.jacfwd(jax.grad(l, argnums=1), argnums=0)(x, u)
+    return f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu
+
+
+def linearize_trajectory(system: System, X: jnp.ndarray, U: jnp.ndarray) -> TrajectoryExpansion:
+    """Expand dynamics/cost along a nominal trajectory, vmapped over time.
+
+    X: (N+1, n_x), U: (N, n_u).
+    """
+    f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = jax.vmap(
+        lambda x, u: _stage_expansion(system, x, u)
+    )(X[:-1], U)
+
+    lf = lambda xx: system.terminal_cost(system.params, xx)
+    v_x = jax.grad(lf)(X[-1])
+    v_xx = jax.hessian(lf)(X[-1])
+    return TrajectoryExpansion(
+        f_x=f_x, f_u=f_u, l_x=l_x, l_u=l_u,
+        l_xx=l_xx, l_ux=l_ux, l_uu=l_uu, v_x=v_x, v_xx=v_xx,
+    )

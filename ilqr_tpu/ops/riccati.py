@@ -1,0 +1,73 @@
+"""Sequential Riccati backward pass over a precomputed trajectory expansion.
+
+Algorithmic parity with the reference backward pass
+(`/root/reference/python/class_files/iLQR_class.py:79-161`): same Q-expansion,
+same gain solves, same simplified (Todorov-form) value updates, scanned in
+reverse over time.  Differences:
+
+* operates on the stacked `TrajectoryExpansion` (derivatives hoisted out of the
+  scan — see `ilqr_tpu.ops.linearize`), so the scan body is pure small-matrix
+  algebra;
+* optional Levenberg-style regularization ``Q_uu + reg*I`` — the reference's
+  bare LU solve (`iLQR_class.py:109-110`) goes indefinite on hard problems;
+  ``reg=0`` reproduces the reference bit-for-bit;
+* also returns the expected-improvement terms ``dV = (Σ u_ff'Q_u,
+  Σ u_ff'Q_uu u_ff)`` used by Tassa-style line-search acceptance.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.ops.linearize import TrajectoryExpansion
+
+
+def backward_pass(
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the Riccati recursion.
+
+    Returns:
+        u_ff: (N, n_u) feedforward controls
+        K:    (N, n_u, n_x) feedback gains
+        dV:   (2,) expected cost-decrease coefficients (linear, quadratic in α)
+        ok:   scalar bool — all Q_uu solves finite
+    """
+    n_u = exp.l_u.shape[-1]
+    eye_u = jnp.eye(n_u, dtype=exp.l_u.dtype)
+    reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
+
+    def body(carry, inp):
+        V_x, V_xx = carry
+        f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = inp
+
+        # Q-expansion (`iLQR_class.py:100-104`).
+        fuT_Vxx = f_u.T @ V_xx
+        Q_x = l_x + f_x.T @ V_x
+        Q_u = l_u + f_u.T @ V_x
+        Q_xx = l_xx + f_x.T @ V_xx @ f_x
+        Q_ux = l_ux + fuT_Vxx @ f_x
+        Q_uu = l_uu + fuT_Vxx @ f_u
+
+        Q_uu_reg = Q_uu + reg * eye_u
+        # Gains (`iLQR_class.py:109-110`); one factorization for both solves.
+        rhs = jnp.concatenate([Q_ux, Q_u[:, None]], axis=1)
+        sol = -jnp.linalg.solve(Q_uu_reg, rhs)
+        K = sol[:, :-1]
+        u_ff = sol[:, -1]
+
+        # Value updates, simplified form (`iLQR_class.py:113-114`).
+        V_x_new = Q_x + K.T @ Q_u
+        V_xx_new = Q_xx + Q_ux.T @ K
+
+        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
+        return (V_x_new, V_xx_new), (u_ff, K, dV)
+
+    init = (exp.v_x, exp.v_xx)
+    xs = (exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu)
+    (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True)
+    dV = jnp.sum(dVs, axis=0)
+    ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
+    return u_ff, K, dV, ok

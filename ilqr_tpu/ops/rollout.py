@@ -1,0 +1,76 @@
+"""Forward rollouts: nominal, closed-loop, and batched line-search.
+
+Semantics match the reference forward pass
+(`/root/reference/python/class_files/iLQR_class.py:164-247`):
+    u_k = u_old_k + α·u_ff_k + K_k (x_k − x_old_k)
+    x_{k+1} = f(x_k, u_k),   cost += l(x_k, u_k),  + l_f(x_N) at the end.
+
+TPU-native addition: `linesearch_rollouts` evaluates the *entire* α schedule
+as one vmapped rollout batch instead of the reference's host-side backtracking
+loop with a device sync per probe (`iLQR_class.py:281-301`).  Selecting the
+first improving α from the batch reproduces the reference's
+accept-first-improving semantics exactly (the schedule order is preserved)
+while costing a single device program.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import System
+from ilqr_tpu.ops.integrators import step
+
+
+def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
+    """Open-loop rollout of a control sequence. Returns X: (N+1, n_x), cost."""
+
+    def body(carry, u):
+        x, c = carry
+        c = c + system.stage_cost(system.params, x, u)
+        x1 = step(system, x, u)
+        return (x1, c), x
+
+    (x_N, cost), X_head = jax.lax.scan(body, (x0, 0.0), U)
+    cost = cost + system.terminal_cost(system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return X, cost
+
+
+def closed_loop_rollout(
+    system: System,
+    x0: jnp.ndarray,
+    alpha: jnp.ndarray,
+    X_old: jnp.ndarray,
+    U_old: jnp.ndarray,
+    u_ff: jnp.ndarray,
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closed-loop line-search rollout. Time-major: X_old (N+1,n_x), U_old (N,n_u),
+    u_ff (N,n_u), K (N,n_u,n_x). Returns (X_new, U_new, cost)."""
+
+    def body(carry, inp):
+        x, c = carry
+        x_old, u_old, uff_k, K_k = inp
+        u = u_old + alpha * uff_k + K_k @ (x - x_old)
+        c = c + system.stage_cost(system.params, x, u)
+        x1 = step(system, x, u)
+        return (x1, c), (x, u)
+
+    (x_N, cost), (X_head, U_new) = jax.lax.scan(
+        body, (x0, 0.0), (X_old[:-1], U_old, u_ff, K)
+    )
+    cost = cost + system.terminal_cost(system.params, x_N)
+    X_new = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return X_new, U_new, cost
+
+
+def linesearch_rollouts(system, x0, alphas, X_old, U_old, u_ff, K):
+    """Roll out every α in the schedule as one vmapped batch.
+
+    Returns (X_cands, U_cands, costs) with a leading α axis.
+    """
+    return jax.vmap(
+        lambda a: closed_loop_rollout(system, x0, a, X_old, U_old, u_ff, K)
+    )(alphas)

@@ -1,0 +1,15 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+The axon sitecustomize pins JAX_PLATFORMS=axon (single real TPU chip via a
+tunnel); tests instead use the CPU backend with 8 virtual devices so sharding
+and collectives are exercised without TPU hardware (SURVEY.md §4).
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
