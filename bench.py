@@ -1,0 +1,100 @@
+"""Benchmark: backward-pass Riccati throughput on the real chip.
+
+Headline metric (BASELINE.json): backward-pass timesteps/sec/chip on the
+flagship double-pendulum expansion.  vs_baseline compares against the
+reference implementation's jitted `backward_pass` measured on this machine's
+CPU: 90,457 timesteps/s at N=500 (see BASELINE.md "Self-measured reference
+numbers").
+
+Prints exactly ONE JSON line to stdout; secondary metrics go to stderr.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_BACKWARD_TIMESTEPS_PER_S = 90457.0  # reference on CPU, BASELINE.md
+
+
+def timeit(fn, *args, reps=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    import ilqr_tpu as it
+    from ilqr_tpu.ops.linearize import linearize_trajectory
+    from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
+    from ilqr_tpu.ops.riccati import backward_pass
+
+    dev = jax.devices()[0]
+    log = lambda **kw: print(json.dumps(kw), file=sys.stderr)
+    log(device=str(dev), backend=jax.default_backend())
+
+    sys_ = it.make_double_pendulum(
+        0.01, [jnp.pi, 0.0, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
+        R=jnp.diag(jnp.array([0.1, 0.1])),
+        Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
+    )
+
+    # --- Headline: backward-pass timesteps/s/chip on a long horizon. ---
+    N = 4096
+    U = 0.1 * jnp.sin(jnp.linspace(0, 20.0, N))[:, None] * jnp.ones((1, 2))
+    X, _ = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u))(U)
+    exp = jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X, U)
+    exp = jax.block_until_ready(exp)
+
+    bp_pscan = jax.jit(lambda e: backward_pass_associative(e, 0.0))
+    bp_scan = jax.jit(lambda e: backward_pass(e, 0.0))
+
+    t_pscan = timeit(bp_pscan, exp)
+    t_scan = timeit(bp_scan, exp)
+    best = min(t_pscan, t_scan)
+    tps = N / best
+    log(metric="backward_pass_pscan_ms", value=t_pscan * 1e3, N=N)
+    log(metric="backward_pass_scan_ms", value=t_scan * 1e3, N=N)
+
+    # --- Secondary: full solve latency (reference workload, N=500). ---
+    N_dp = 500
+    cfg = it.IlqrConfig(maxiter=200, tol=1e-6)
+    solve_fn = jax.jit(
+        lambda x0, U0: it.solve(sys_, x0, U0, cfg).cost
+    )
+    t_solve = timeit(solve_fn, jnp.zeros(4), jnp.zeros((N_dp, 2)), reps=3)
+    log(metric="double_pendulum_full_solve_s", value=t_solve,
+        reference_cpu_s=1.462)
+
+    # --- Secondary: batched solves/s (batched-MPC style throughput). ---
+    B, N_b = 256, 128
+    x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))
+    cfg_b = it.IlqrConfig(maxiter=10, tol=1e-5)
+    batched = jax.jit(
+        jax.vmap(lambda x0: it.solve(sys_, x0, jnp.zeros((N_b, 2)), cfg_b).cost)
+    )
+    t_b = timeit(batched, x0s, reps=5)
+    log(metric="batched_solves_per_s", value=B / t_b, B=B, N=N_b)
+
+    print(json.dumps({
+        "metric": "backward_pass_timesteps_per_sec_per_chip",
+        "value": round(tps, 1),
+        "unit": "timesteps/s",
+        "vs_baseline": round(tps / REFERENCE_BACKWARD_TIMESTEPS_PER_S, 3),
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # axon-tunnel processes hang at normal interpreter exit
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Batch-parallel solving: thousands of MPC/trajectory problems over a mesh.
+
+Greenfield TPU capability (BASELINE.json config 4: "4096 vmapped
+double-pendulum instances sharded across chips"); the reference solves one
+problem at a time on one device.
+
+The whole solver is pure and pytree-based, so batch parallelism is just
+``vmap`` + a `NamedSharding` on the batch axis: XLA partitions the program
+SPMD across the mesh with **zero collectives** in the hot loop
+(embarrassingly parallel — each instance's while_loop runs independently).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ilqr_tpu.models.base import System
+from ilqr_tpu.mpc import run_mpc
+from ilqr_tpu.solver import IlqrConfig, solve
+
+
+def solve_batched(
+    system: System,
+    x0_batch: jnp.ndarray,
+    U_init_batch: jnp.ndarray,
+    config: IlqrConfig = IlqrConfig(),
+    mesh: Mesh | None = None,
+    axis: str = "batch",
+):
+    """Solve B independent problems; shard the batch over the mesh.
+
+    x0_batch: (B, n_x); U_init_batch: (B, N, n_u) or (N, n_u) shared.
+    """
+    if U_init_batch.ndim == 2:
+        U_init_batch = jnp.broadcast_to(
+            U_init_batch, (x0_batch.shape[0],) + U_init_batch.shape
+        )
+    fn = jax.vmap(lambda x0, U0: solve(system, x0, U0, config))
+    if mesh is None:
+        return jax.jit(fn)(x0_batch, U_init_batch)
+    shard = NamedSharding(mesh, P(axis))
+    x0_batch = jax.device_put(x0_batch, shard)
+    U_init_batch = jax.device_put(
+        U_init_batch, NamedSharding(mesh, P(axis, None, None))
+    )
+    return jax.jit(fn)(x0_batch, U_init_batch)
+
+
+def run_mpc_sharded(
+    solver_system: System,
+    plant_system: System,
+    x0_batch: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+    mesh: Mesh | None = None,
+    axis: str = "batch",
+):
+    """Closed-loop MPC for a batch of initial states, sharded over the mesh."""
+    fn = jax.vmap(
+        lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
+    )
+    if mesh is None:
+        return jax.jit(fn, static_argnums=())(x0_batch)
+    x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P(axis)))
+    return jax.jit(fn)(x0_batch)

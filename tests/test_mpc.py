@@ -1,0 +1,64 @@
+"""MPC tests: closed-loop swing-up with solver/plant mismatch (reference
+workloads P9-P11) and the batched variant."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import ilqr_tpu as it
+from ilqr_tpu.mpc import run_mpc, run_mpc_batched
+
+
+def _pendulum_pair():
+    # Reference MPC config: run_iLQR_MPC.py:16-75 (solver backward_euler,
+    # plant midpoint — deliberate model mismatch).
+    mk = lambda integ: it.make_pendulum(
+        0.01, [jnp.pi, 0.0], Q=jnp.diag(jnp.array([10.0, 1.0])),
+        R=jnp.eye(1), Q_f=jnp.diag(jnp.array([10.0, 10.0])), d=0.0,
+        integrator=integ,
+    )
+    return mk("backward_euler"), mk("midpoint")
+
+
+def test_mpc_pendulum_swingup():
+    solver_sys, plant_sys = _pendulum_pair()
+    N_h = 200  # T_horizon=2.0
+    res = run_mpc(
+        solver_sys, plant_sys, jnp.zeros(2), jnp.zeros((N_h, 1)),
+        n_sim=400, config=it.IlqrConfig(maxiter=10, tol=1e-5),
+    )
+    xN = np.asarray(res.X[-1])
+    assert abs(xN[0] - np.pi) < 0.05, f"did not swing up: {xN}"
+    assert abs(xN[1]) < 0.1
+    assert res.U.shape == (400, 1)
+    assert np.all(np.asarray(res.solve_iters) <= 10)
+
+
+def test_mpc_warm_start_reduces_iterations():
+    """Warm starting should make later solves cheap (the point of the
+    shift-and-hold pattern, run_iLQR_MPC.py:137)."""
+    solver_sys, plant_sys = _pendulum_pair()
+    res = run_mpc(
+        solver_sys, plant_sys, jnp.zeros(2), jnp.zeros((200, 1)),
+        n_sim=300, config=it.IlqrConfig(maxiter=10, tol=1e-5),
+    )
+    iters = np.asarray(res.solve_iters)
+    # Tail solves (near-stationary tracking) should converge in very few
+    # iterations compared to the budget.
+    assert iters[-50:].mean() < 6.0
+
+
+def test_mpc_batched_matches_single():
+    solver_sys, plant_sys = _pendulum_pair()
+    x0s = jnp.stack([jnp.zeros(2), jnp.array([0.3, 0.0])])
+    res_b = run_mpc_batched(
+        solver_sys, plant_sys, x0s, jnp.zeros((100, 1)), n_sim=50,
+        config=it.IlqrConfig(maxiter=5),
+    )
+    res_1 = run_mpc(
+        solver_sys, plant_sys, x0s[1], jnp.zeros((100, 1)), n_sim=50,
+        config=it.IlqrConfig(maxiter=5),
+    )
+    assert res_b.X.shape == (2, 51, 2)
+    np.testing.assert_allclose(
+        np.asarray(res_b.X[1]), np.asarray(res_1.X), atol=1e-4
+    )

@@ -83,6 +83,25 @@ def test_solver_with_pscan_backward_converges():
     np.testing.assert_allclose(float(sol_p.cost), float(sol_s.cost), rtol=1e-3)
 
 
+def test_solver_with_pscan_on_stiff_double_pendulum():
+    """On the stiff Q_f=1000 double pendulum, fp32 grouping noise moves
+    individual near-terminal gains ~1% — the solver must still converge to an
+    equivalent-quality optimum with the associative backward."""
+    sys_ = it.make_double_pendulum(
+        0.01, [jnp.pi, 0, 0, 0],
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
+        R=jnp.diag(jnp.array([0.1, 0.1])),
+        Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
+    )
+    x0, U0 = jnp.zeros(4), jnp.zeros((500, 2))
+    cost_s = float(it.solve(sys_, x0, U0, it.IlqrConfig(maxiter=200, tol=1e-6)).cost)
+    sol_p = it.solve(sys_, x0, U0, it.IlqrConfig(maxiter=200, tol=1e-6, backward="pscan"))
+    assert float(sol_p.cost) <= cost_s * 1.05
+    # Both reach the upright target.
+    assert abs(float(sol_p.X[-1, 0]) - np.pi) < 0.2
+
+
 def test_regularized_passes_agree():
     """backward_pass_associative(exp, reg) solves the control-cost-inflated
     subproblem (l_uu + reg·I) *exactly*, so it must equal the sequential pass

@@ -1,0 +1,96 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4):
+batch sharding of the solver and horizon sharding of the Riccati pass."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ilqr_tpu as it
+from ilqr_tpu.ops.linearize import linearize_trajectory
+from ilqr_tpu.ops.riccati import backward_pass
+from ilqr_tpu.parallel.batch import solve_batched
+from ilqr_tpu.parallel.horizon import backward_pass_sharded
+from ilqr_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _pendulum():
+    return it.make_pendulum(
+        0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+        Q_f=jnp.zeros((2, 2)), d=0.0, integrator="rk4",
+    )
+
+
+def test_batched_solve_sharded_matches_unsharded():
+    sys_ = _pendulum()
+    mesh = make_mesh({"batch": 8})
+    B, N = 16, 200
+    x0s = jnp.stack([jnp.array([0.1 * i, 0.0]) for i in range(B)])
+    U0 = jnp.zeros((N, 1))
+    cfg = it.IlqrConfig(maxiter=15)
+    sols_sharded = solve_batched(sys_, x0s, U0, cfg, mesh=mesh)
+    sols_local = solve_batched(sys_, x0s, U0, cfg, mesh=None)
+    np.testing.assert_allclose(
+        np.asarray(sols_sharded.cost), np.asarray(sols_local.cost), rtol=1e-4
+    )
+
+
+def test_horizon_sharded_backward_matches_sequential():
+    sys_ = _pendulum()
+    N = 256
+    U = 0.2 * jnp.sin(jnp.linspace(0, 5.0, N))[:, None]
+    X, _ = it.rollout(sys_, jnp.array([1.0, 0.0]), U)
+    exp = linearize_trajectory(sys_, X, U)
+
+    u_ff_s, K_s, dV_s, _ = backward_pass(exp)
+
+    mesh = make_mesh({"time": 8})
+    u_ff_h, K_h, dV_h, ok = jax.jit(
+        lambda e: backward_pass_sharded(e, mesh, axis="time")
+    )(exp)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(u_ff_h), np.asarray(u_ff_s),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(K_h), np.asarray(K_s),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dV_h), np.asarray(dV_s),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_horizon_sharded_on_double_pendulum():
+    sys_ = it.make_double_pendulum(
+        0.01, [jnp.pi, 0, 0, 0],
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
+        R=jnp.diag(jnp.array([0.1, 0.1])),
+        Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
+    )
+    N = 512
+    U = 0.5 * jnp.cos(jnp.linspace(0, 3.0, N))[:, None] * jnp.ones((1, 2))
+    X, _ = it.rollout(sys_, jnp.zeros(4), U)
+    exp = linearize_trajectory(sys_, X, U)
+    # With the stiff Q_f=1000 terminal, fp32 *grouping order* moves the
+    # near-terminal gains by ~1e-2 even between the unsharded associative scan
+    # and the sequential recursion (same algebra, different association).  The
+    # sharded pass owns only the block decomposition, so compare it against
+    # the unsharded associative pass (identical algebra).
+    u_ff_a, K_a, _, _ = it.backward_pass_associative(exp)
+    mesh = make_mesh({"time": 8})
+    u_ff_h, K_h, _, ok = backward_pass_sharded(exp, mesh, axis="time")
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(u_ff_h), np.asarray(u_ff_a),
+                               rtol=5e-3, atol=5e-2)
+
+
+def test_indivisible_horizon_raises():
+    sys_ = _pendulum()
+    N = 250  # not divisible by 8
+    U = jnp.zeros((N, 1))
+    X, _ = it.rollout(sys_, jnp.array([1.0, 0.0]), U)
+    exp = linearize_trajectory(sys_, X, U)
+    mesh = make_mesh({"time": 8})
+    with pytest.raises(ValueError, match="divisible"):
+        backward_pass_sharded(exp, mesh, axis="time")
