@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ilqr_tpu.ops.smallmat import solve_small
+
 from ilqr_tpu.models.base import (
     System,
     quadratic_cost_params,
@@ -52,7 +54,7 @@ def f_cont(params, x, u):
     damping = -jnp.stack([p["d1"] * q1d, p["d2"] * q2d])
     h = p["S"] @ u + coriolis + gravity + damping
 
-    qdd = jnp.linalg.solve(M, h)
+    qdd = solve_small(M, h)
     return jnp.concatenate([jnp.stack([q1d, q2d]), qdd])
 
 

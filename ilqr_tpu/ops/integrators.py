@@ -28,7 +28,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
+from ilqr_tpu.ops.smallmat import inv_small, solve_small
 
 from ilqr_tpu.models.base import System
 
@@ -64,10 +64,13 @@ def _backward_euler(f_cont, dt, newton_iters, params, x, u):
     J = jnp.eye(x.shape[-1], dtype=x.dtype) - dt * jax.jacfwd(
         lambda z: f_cont(params, z, u)
     )(x1)
-    lu = lu_factor(J)
+    # Closed-form inverse of the tiny stale Jacobian, computed once and
+    # reused every correction (replaces the reference's LU factor+solve,
+    # which hits TPU's slow pivoted-LU path).
+    Ji = inv_small(J)
 
     def body(_, x1):
-        return x1 - lu_solve(lu, residual(x1))
+        return x1 - (Ji @ residual(x1)[..., None])[..., 0]
 
     return jax.lax.fori_loop(0, newton_iters, body, x1)
 
@@ -89,7 +92,7 @@ def _backward_euler_jvp(f_cont, dt, newton_iters, primals, tangents):
     A = jnp.eye(x.shape[-1], dtype=x.dtype) - dt * J_x
     # Tangent of the residual wrt (params, u) at fixed x1.
     _, rhs_tan = jax.jvp(lambda p, v: g(p, x1, v), (params, u), (dparams, du))
-    dx1 = jnp.linalg.solve(A, dx + dt * rhs_tan)
+    dx1 = solve_small(A, dx + dt * rhs_tan)
     return x1, dx1
 
 

@@ -17,6 +17,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ilqr_tpu.ops.smallmat import solve_small
+
 
 class LqrSolution(NamedTuple):
     X: jnp.ndarray      # (N+1, n_x)
@@ -47,7 +49,7 @@ def lqr_backward(A, B, Q, R, Q_f, x_target=None, N: int | None = None):
         H = R + BtS @ B
         G = BtS @ A
         g = B.T @ s
-        sol = jnp.linalg.solve(H, jnp.concatenate([G, g[:, None]], axis=1))
+        sol = solve_small(H, jnp.concatenate([G, g[:, None]], axis=1))
         K, k_ff = sol[:, :-1], sol[:, -1]
         S_new = Q + A.T @ S @ (A - B @ K)
         S_new = 0.5 * (S_new + S_new.T)

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
+from ilqr_tpu.ops.smallmat import inv_small, solve_small
 
 
 class RiccatiElement(NamedTuple):
@@ -69,7 +70,7 @@ def make_elements(exp: TrajectoryExpansion, reg) -> RiccatiElement:
         R = l_uu + reg * eye_u
         # One factorization for all three R-solves.
         rhs = jnp.concatenate([l_ux, f_u.T, l_u[:, None]], axis=1)
-        sol = jnp.linalg.solve(R, rhs)
+        sol = solve_small(R, rhs)
         Rinv_M, Rinv_Bt, Rinv_r = sol[:, : l_ux.shape[1]], sol[:, l_ux.shape[1]:-1], sol[:, -1]
         A = f_x - f_u @ Rinv_M
         b = -f_u @ Rinv_r
@@ -101,13 +102,14 @@ def combine(ei: RiccatiElement, ej: RiccatiElement) -> RiccatiElement:
     I = jnp.broadcast_to(jnp.eye(n_x, dtype=ei.A.dtype), ei.A.shape)
     L = I + ei.C @ ej.J  # (…, n_x, n_x)
     # Solve against L for the A/b/C updates…
-    Ai_sol = jnp.linalg.solve(L, ei.A)
-    bC_sol = jnp.linalg.solve(L, (ei.b + (ei.C @ ej.eta[..., None])[..., 0])[..., None])[..., 0]
-    C_sol = jnp.linalg.solve(L, ei.C)
+    Li = inv_small(L)
+    Ai_sol = Li @ ei.A
+    bC_sol = (Li @ (ei.b + (ei.C @ ej.eta[..., None])[..., 0])[..., None])[..., 0]
+    C_sol = Li @ ei.C
     # …and against Lᵀ (= I + J_j C_i for symmetric C, J) for the η/J updates.
-    Lt = jnp.swapaxes(L, -1, -2)
-    eta_sol = jnp.linalg.solve(Lt, (ej.eta - (ej.J @ ei.b[..., None])[..., 0])[..., None])[..., 0]
-    J_sol = jnp.linalg.solve(Lt, ej.J)
+    Lti = jnp.swapaxes(Li, -1, -2)
+    eta_sol = (Lti @ (ej.eta - (ej.J @ ei.b[..., None])[..., 0])[..., None])[..., 0]
+    J_sol = Lti @ ej.J
 
     AiT = jnp.swapaxes(ei.A, -1, -2)
     AjT = jnp.swapaxes(ej.A, -1, -2)
@@ -147,7 +149,7 @@ def gains_from_value(exp: TrajectoryExpansion, V_x, V_xx, reg):
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u + reg * eye_u
         rhs = jnp.concatenate([Q_ux, Q_u[:, None]], axis=1)
-        sol = -jnp.linalg.solve(Q_uu, rhs)
+        sol = -solve_small(Q_uu, rhs)
         K, u_ff = sol[:, :-1], sol[:, -1]
         dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ (Q_uu - reg * eye_u) @ u_ff])
         return u_ff, K, dV

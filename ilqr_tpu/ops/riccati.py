@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
+from ilqr_tpu.ops.smallmat import solve_small
 
 
 def backward_pass(
@@ -54,7 +55,7 @@ def backward_pass(
         Q_uu_reg = Q_uu + reg * eye_u
         # Gains (`iLQR_class.py:109-110`); one factorization for both solves.
         rhs = jnp.concatenate([Q_ux, Q_u[:, None]], axis=1)
-        sol = -jnp.linalg.solve(Q_uu_reg, rhs)
+        sol = -solve_small(Q_uu_reg, rhs)
         K = sol[:, :-1]
         u_ff = sol[:, -1]
 
