@@ -55,13 +55,18 @@ def main():
     exp = jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X, U)
     exp = jax.block_until_ready(exp)
 
+    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
+
+    bp_pallas = jax.jit(lambda e: backward_pass_pallas(e, 0.0))
     bp_pscan = jax.jit(lambda e: backward_pass_associative(e, 0.0))
     bp_scan = jax.jit(lambda e: backward_pass(e, 0.0))
 
+    t_pallas = timeit(bp_pallas, exp)
     t_pscan = timeit(bp_pscan, exp)
     t_scan = timeit(bp_scan, exp)
-    best = min(t_pscan, t_scan)
+    best = min(t_pallas, t_pscan, t_scan)
     tps = N / best
+    log(metric="backward_pass_pallas_ms", value=t_pallas * 1e3, N=N)
     log(metric="backward_pass_pscan_ms", value=t_pscan * 1e3, N=N)
     log(metric="backward_pass_scan_ms", value=t_scan * 1e3, N=N)
 

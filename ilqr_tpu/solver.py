@@ -88,6 +88,10 @@ def _backward(exp, reg, config: IlqrConfig):
         from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
         return backward_pass_associative(exp, reg)
+    if config.backward == "pallas":
+        from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
+
+        return backward_pass_pallas(exp, reg)
     return backward_pass(exp, reg)
 
 

@@ -13,3 +13,7 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Most suite wall-time is XLA compilation; persist it across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
