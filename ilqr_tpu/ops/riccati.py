@@ -68,7 +68,9 @@ def backward_pass(
 
     init = (exp.v_x, exp.v_xx)
     xs = (exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu)
-    (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True)
+    # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py).
+    (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
+                                          unroll=8)
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
     return u_ff, K, dV, ok

@@ -22,6 +22,11 @@ import jax.numpy as jnp
 from ilqr_tpu.models.base import System
 from ilqr_tpu.ops.integrators import step
 
+# Unrolling the sequential scans amortizes TPU per-step dispatch overhead
+# (~15 µs/step unrolled=1 on v5e) across several physical steps; 16 keeps
+# compile time modest while cutting rollout latency several-fold.
+SCAN_UNROLL = 16
+
 
 def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
     """Open-loop rollout of a control sequence. Returns X: (N+1, n_x), cost."""
@@ -32,7 +37,7 @@ def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
         x1 = step(system, x, u)
         return (x1, c), x
 
-    (x_N, cost), X_head = jax.lax.scan(body, (x0, 0.0), U)
+    (x_N, cost), X_head = jax.lax.scan(body, (x0, 0.0), U, unroll=SCAN_UNROLL)
     cost = cost + system.terminal_cost(system.params, x_N)
     X = jnp.concatenate([X_head, x_N[None]], axis=0)
     return X, cost
@@ -59,7 +64,7 @@ def closed_loop_rollout(
         return (x1, c), (x, u)
 
     (x_N, cost), (X_head, U_new) = jax.lax.scan(
-        body, (x0, 0.0), (X_old[:-1], U_old, u_ff, K)
+        body, (x0, 0.0), (X_old[:-1], U_old, u_ff, K), unroll=SCAN_UNROLL
     )
     cost = cost + system.terminal_cost(system.params, x_N)
     X_new = jnp.concatenate([X_head, x_N[None]], axis=0)

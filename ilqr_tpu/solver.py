@@ -50,7 +50,9 @@ class IlqrConfig:
     alpha_factor: float = 0.5
     n_alphas: int = 10
     min_alpha: float = 1e-8
-    backward: str = "scan"  # 'scan' (sequential) | 'pscan' (associative)
+    # 'auto' picks the fused Pallas parallel scan on TPU for n_x≤4, N≥256 and
+    # the sequential scan otherwise; explicit: 'scan' | 'pscan' | 'pallas'.
+    backward: str = "auto"
     reg_init: float = 0.0
     reg_factor: float = 10.0
     reg_max: float = 1e9
@@ -84,11 +86,22 @@ class IlqrSolution:
 
 
 def _backward(exp, reg, config: IlqrConfig):
-    if config.backward == "pscan":
+    backward = config.backward
+    if backward == "auto":
+        # Sequential scan has the least per-step work but O(N) latency; the
+        # fused Pallas parallel scan wins on TPU from a few hundred steps.
+        n_x = exp.v_x.shape[-1]
+        N = exp.l_u.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and n_x <= 4 and N >= 256:
+            backward = "pallas"
+        else:
+            backward = "scan"
+    if backward == "pscan":
         from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
         return backward_pass_associative(exp, reg)
-    if config.backward == "pallas":
+    if backward == "pallas":
         from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
 
         return backward_pass_pallas(exp, reg)
