@@ -78,14 +78,25 @@ def quadratic_cost_params(x_target, Q, R, Q_f) -> dict:
     )
 
 
+def quad_form(v, M):
+    """v'Mv via broadcasting (no dot_general) — identical math for n ≤ 8 and
+    safe to trace into Pallas kernels, where Mosaic rejects batched dots."""
+    return jnp.sum(v[..., :, None] * M * v[..., None, :], axis=(-2, -1))
+
+
+def matvec(M, v):
+    """M @ v via broadcasting (no dot_general) — Pallas/Mosaic-safe."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 def quadratic_stage_cost(params, x, u):
     """l(x,u) = 0.5 (dx'Q dx + u'R u) * dt — dt-scaled, matching the reference
     convention (`pendulum_sys.py:77-90`)."""
     dx = x - params["x_target"]
-    return 0.5 * (dx @ params["Q"] @ dx + u @ params["R"] @ u) * params["dt"]
+    return 0.5 * (quad_form(dx, params["Q"]) + quad_form(u, params["R"])) * params["dt"]
 
 
 def quadratic_terminal_cost(params, x):
     """l_f(x) = 0.5 dx'Q_f dx — un-scaled (`pendulum_sys.py:92-98`)."""
     dx = x - params["x_target"]
-    return 0.5 * dx @ params["Q_f"] @ dx
+    return 0.5 * quad_form(dx, params["Q_f"])

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ilqr_tpu.ops.smallmat import solve_small
-
 from ilqr_tpu.models.base import (
     System,
     quadratic_cost_params,
@@ -37,25 +35,26 @@ def f_cont(params, x, u):
     c2, s2 = jnp.cos(q2), jnp.sin(q2)
     s1, s12 = jnp.sin(q1), jnp.sin(q1 + q2)
 
-    # Mass matrix M(q) for uniform rods + joint inertias.
+    # Mass matrix entries M(q) for uniform rods + joint inertias.
     m11 = th1 + th2 + m1 * lc1**2 + m2 * (l1**2 + lc2**2 + 2.0 * l1 * lc2 * c2)
     m12 = th2 + m2 * (lc2**2 + l1 * lc2 * c2)
     m22 = th2 + m2 * lc2**2
-    M = jnp.stack(
-        [jnp.stack([m11, m12]), jnp.stack([m12, m22])]
-    )
 
-    # Generalized forces h = S τ − C(q,q̇)q̇ − G(q) − D q̇.
+    # Generalized forces h = S τ − C(q,q̇)q̇ − G(q) − D q̇, componentwise
+    # (scalar algebra only — this function is traced into Pallas rollout
+    # kernels, where Mosaic rejects batched dot_general ops).
     hc = m2 * l1 * lc2 * s2
-    coriolis = jnp.stack([hc * (2.0 * q1d * q2d + q2d**2), -hc * q1d**2])
-    gravity = -g * jnp.stack(
-        [(m1 * lc1 + m2 * l1) * s1 + m2 * lc2 * s12, m2 * lc2 * s12]
-    )
-    damping = -jnp.stack([p["d1"] * q1d, p["d2"] * q2d])
-    h = p["S"] @ u + coriolis + gravity + damping
+    tau1 = jnp.sum(p["S"][0] * u, axis=-1)
+    tau2 = jnp.sum(p["S"][1] * u, axis=-1)
+    h1 = (tau1 + hc * (2.0 * q1d * q2d + q2d**2)
+          - g * ((m1 * lc1 + m2 * l1) * s1 + m2 * lc2 * s12) - p["d1"] * q1d)
+    h2 = tau2 - hc * q1d**2 - g * m2 * lc2 * s12 - p["d2"] * q2d
 
-    qdd = solve_small(M, h)
-    return jnp.concatenate([jnp.stack([q1d, q2d]), qdd])
+    # q̈ = M⁻¹ h by the 2×2 adjugate.
+    det = m11 * m22 - m12 * m12
+    qdd1 = (m22 * h1 - m12 * h2) / det
+    qdd2 = (m11 * h2 - m12 * h1) / det
+    return jnp.stack([q1d, q2d, qdd1, qdd2])
 
 
 def make_double_pendulum(

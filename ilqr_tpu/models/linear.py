@@ -32,7 +32,9 @@ def cont2disc(A: jnp.ndarray, B: jnp.ndarray, dt: float) -> Tuple[jnp.ndarray, j
 
 
 def lti_f_cont(params, x, u):
-    return params["A"] @ x + params["B"] @ u
+    from ilqr_tpu.models.base import matvec
+
+    return matvec(params["A"], x) + matvec(params["B"], u)
 
 
 def make_lti(

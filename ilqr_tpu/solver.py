@@ -53,6 +53,11 @@ class IlqrConfig:
     # 'auto' picks the fused Pallas parallel scan on TPU for n_x≤4, N≥256 and
     # the sequential scan otherwise; explicit: 'scan' | 'pscan' | 'pallas'.
     backward: str = "auto"
+    # Line-search rollout engine: 'scan' = one vmapped XLA rollout batch over
+    # all α; 'pallas' = fused sequential kernels (candidate costs in one
+    # chain, then one materializing rollout for the accepted α) — pays off on
+    # long horizons where XLA's ~12 µs/step scan overhead dominates.
+    rollout: str = "scan"
     reg_init: float = 0.0
     reg_factor: float = 10.0
     reg_max: float = 1e9
@@ -163,9 +168,19 @@ def solve(
             exp = linearize_trajectory(system, s["X"], s["U"])
             u_ff, K, dV, bp_ok = _backward(exp, s["reg"], config)
 
-            X_c, U_c, costs = linesearch_rollouts(
-                system, x0, alphas, s["X"], s["U"], u_ff, K
-            )
+            if config.rollout == "pallas":
+                from ilqr_tpu.ops.pallas_rollout import (
+                    closed_loop_rollout_pallas,
+                    linesearch_costs_pallas,
+                )
+
+                costs = linesearch_costs_pallas(
+                    system, x0, alphas, s["X"], s["U"], u_ff, K
+                )
+            else:
+                X_c, U_c, costs = linesearch_rollouts(
+                    system, x0, alphas, s["X"], s["U"], u_ff, K
+                )
             accept = (costs <= s["cost"]) & jnp.isfinite(costs) & bp_ok
             any_accept = jnp.any(accept)
             # First improving α — same order as the reference backtracking loop.
@@ -173,14 +188,21 @@ def solve(
 
             def accepted(s):
                 k = s["k"]
+                if config.rollout == "pallas":
+                    # Materialize only the accepted α's trajectory.
+                    X_new, U_new, _ = closed_loop_rollout_pallas(
+                        system, x0, alphas[idx], s["X"], s["U"], u_ff, K
+                    )
+                else:
+                    X_new, U_new = X_c[idx], U_c[idx]
                 new_cost = costs[idx]
                 reg = s["reg"] / config.reg_factor if config.adaptive_reg else s["reg"]
                 if config.adaptive_reg:
                     reg = jnp.maximum(reg, 0.0)
                 return {
                     **s,
-                    "X": X_c[idx],
-                    "U": U_c[idx],
+                    "X": X_new,
+                    "U": U_new,
                     "u_ff": u_ff,
                     "K": K,
                     "prev_cost": s["cost"],
