@@ -80,15 +80,30 @@ def main():
     log(metric="double_pendulum_full_solve_s", value=t_solve,
         reference_cpu_s=1.462)
 
-    # --- Secondary: batched solves/s (batched-MPC style throughput). ---
-    B, N_b = 256, 128
+    # --- Secondary: batched solves/s (BASELINE config 4 throughput). ---
+    B, N_b = 1024, 128
     x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))
-    cfg_b = it.IlqrConfig(maxiter=10, tol=1e-5)
+    cfg_b = it.IlqrConfig(maxiter=10, tol=1e-5, backward="scan")
     batched = jax.jit(
         jax.vmap(lambda x0: it.solve(sys_, x0, jnp.zeros((N_b, 2)), cfg_b).cost)
     )
-    t_b = timeit(batched, x0s, reps=5)
+    t_b = timeit(batched, x0s, reps=3)
     log(metric="batched_solves_per_s", value=B / t_b, B=B, N=N_b)
+
+    # --- Secondary: batched closed-loop MPC step-solves/s. ---
+    from ilqr_tpu.mpc import run_mpc_batched
+
+    B_m, N_h, N_sim = 512, 64, 50
+    x0m = jnp.zeros((B_m, 4)).at[:, 1].add(jnp.linspace(-0.3, 0.3, B_m))
+    cfg_m = it.IlqrConfig(maxiter=5, tol=1e-4)
+    mpc = jax.jit(
+        lambda xs: run_mpc_batched(
+            sys_, sys_, xs, jnp.zeros((N_h, 2)), N_sim, cfg_m
+        ).cost
+    )
+    t_m = timeit(mpc, x0m, reps=2, warmup=1)
+    log(metric="batched_mpc_step_solves_per_s", value=B_m * N_sim / t_m,
+        B=B_m, N_sim=N_sim, horizon=N_h)
 
     print(json.dumps({
         "metric": "backward_pass_timesteps_per_sec_per_chip",
