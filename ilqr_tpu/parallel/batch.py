@@ -8,10 +8,14 @@ The whole solver is pure and pytree-based, so batch parallelism is just
 ``vmap`` + a `NamedSharding` on the batch axis: XLA partitions the program
 SPMD across the mesh with **zero collectives** in the hot loop
 (embarrassingly parallel — each instance's while_loop runs independently).
+
+The jitted entry points live at module level (static `config`, `System`
+statics folded into the pytree treedef) so repeated calls hit the jit cache —
+wrapping `jax.jit` around a fresh lambda per call would recompile every time.
 """
 from __future__ import annotations
 
-from typing import Any
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +24,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ilqr_tpu.models.base import System
 from ilqr_tpu.mpc import run_mpc
 from ilqr_tpu.solver import IlqrConfig, solve
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_batched(system, x0_batch, U_init_batch, config):
+    return jax.vmap(lambda x0, U0: solve(system, x0, U0, config))(
+        x0_batch, U_init_batch
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_sim"))
+def _mpc_batched(solver_system, plant_system, x0_batch, U_init, n_sim, config):
+    return jax.vmap(
+        lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
+    )(x0_batch)
 
 
 def solve_batched(
@@ -38,15 +56,12 @@ def solve_batched(
         U_init_batch = jnp.broadcast_to(
             U_init_batch, (x0_batch.shape[0],) + U_init_batch.shape
         )
-    fn = jax.vmap(lambda x0, U0: solve(system, x0, U0, config))
-    if mesh is None:
-        return jax.jit(fn)(x0_batch, U_init_batch)
-    shard = NamedSharding(mesh, P(axis))
-    x0_batch = jax.device_put(x0_batch, shard)
-    U_init_batch = jax.device_put(
-        U_init_batch, NamedSharding(mesh, P(axis, None, None))
-    )
-    return jax.jit(fn)(x0_batch, U_init_batch)
+    if mesh is not None:
+        x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P(axis)))
+        U_init_batch = jax.device_put(
+            U_init_batch, NamedSharding(mesh, P(axis, None, None))
+        )
+    return _solve_batched(system, x0_batch, U_init_batch, config)
 
 
 def run_mpc_sharded(
@@ -60,10 +75,6 @@ def run_mpc_sharded(
     axis: str = "batch",
 ):
     """Closed-loop MPC for a batch of initial states, sharded over the mesh."""
-    fn = jax.vmap(
-        lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
-    )
-    if mesh is None:
-        return jax.jit(fn, static_argnums=())(x0_batch)
-    x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P(axis)))
-    return jax.jit(fn)(x0_batch)
+    if mesh is not None:
+        x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P(axis)))
+    return _mpc_batched(solver_system, plant_system, x0_batch, U_init, n_sim, config)
