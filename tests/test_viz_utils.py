@@ -82,3 +82,18 @@ def test_timing_helpers():
 
 
 import jax  # noqa: E402  (used in test bodies)
+
+
+def test_guards():
+    from ilqr_tpu.utils.guards import assert_finite, finite_leaves, solve_checked
+
+    assert bool(finite_leaves({"a": jnp.ones(3), "b": 2.0}))
+    assert not bool(finite_leaves({"a": jnp.array([1.0, jnp.nan])}))
+    import pytest
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        assert_finite({"bad": jnp.array([jnp.inf])})
+    sys_, _ = _small_solution()
+    sol = solve_checked(sys_, jnp.array([1.0, 0.0]), jnp.zeros((50, 1)),
+                        it.IlqrConfig(maxiter=5))
+    assert np.isfinite(float(sol.cost))
