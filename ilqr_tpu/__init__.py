@@ -5,13 +5,10 @@ MohamedAbou-Taleb/Iterative-Linear-Quadratic-Regulator: pure-function systems,
 a fully on-device solver loop, associative-scan parallel Riccati, batched MPC
 over device meshes, and horizon sharding across chips.
 """
-import jax as _jax
-
-# TPU matmuls default to bfloat16 accumulation; Riccati recursions diverge
-# (NaN) under that over long horizons.  Trajectory optimization on n_x ≤ 8
-# matrices costs nothing in f32 — make it the framework default.
-_jax.config.update("jax_default_matmul_precision", "highest")
-
+# NOTE: solver/ops entry points trace under f32 matmul accumulation via the
+# `f32_matmuls` decorator (see models/base.py) — TPU's default bf16 matmul
+# accumulation makes long-horizon Riccati recursions diverge.  No global JAX
+# config is mutated on import.
 from ilqr_tpu.models.base import System, INTEGRATORS
 from ilqr_tpu.models.pendulum import make_pendulum
 from ilqr_tpu.models.double_pendulum import make_double_pendulum

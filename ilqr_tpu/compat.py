@@ -164,11 +164,12 @@ class iLQR:
         self.U_ff, self.K = sol.u_ff.T, sol.K
         if self.verbose:
             status = int(sol.status)
-            print(f"Converged in {int(sol.iterations)} iterations, "
-                  f"cost: {float(sol.cost):.4f}")
             if status == LINESEARCH_FAILED:
                 print("Warning: Line search failed. Cost did not improve.")
             elif status == MAXITER:
                 print(f"Warning: Reached max iterations ({self.maxiter}) "
                       "without converging.")
+            else:
+                print(f"Converged in {int(sol.iterations)} iterations, "
+                      f"cost: {float(sol.cost):.4f}")
         return self.X, self.U, sol.cost

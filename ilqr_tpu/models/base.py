@@ -19,10 +19,29 @@ is just a stacked pytree.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+
+
+def f32_matmuls(fn: Callable) -> Callable:
+    """Trace ``fn`` under f32 matmul accumulation.
+
+    TPU matmuls default to bf16 accumulation, under which long-horizon
+    Riccati recursions diverge to NaN.  Scoping the precision to this
+    library's entry points (instead of mutating global JAX config at import)
+    leaves unrelated user code untouched; control-sized matmuls cost nothing
+    in f32.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 # Integrator names accepted framework-wide.  Mirrors the reference's set

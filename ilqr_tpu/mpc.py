@@ -26,7 +26,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.models.base import System
+from ilqr_tpu.models.base import System, f32_matmuls
 from ilqr_tpu.ops.integrators import step
 from ilqr_tpu.solver import IlqrConfig, solve
 
@@ -41,6 +41,7 @@ class MpcResult:
     solve_status: Any  # (N_sim,) per-step solver status
 
 
+@f32_matmuls
 def run_mpc(
     solver_system: System,
     plant_system: System,
@@ -69,6 +70,7 @@ def run_mpc(
     return MpcResult(X=X, U=U, cost=cost, solve_iters=iters, solve_status=status)
 
 
+@f32_matmuls
 def run_mpc_batched(
     solver_system: System,
     plant_system: System,

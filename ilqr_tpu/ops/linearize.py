@@ -21,7 +21,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.models.base import System
+from ilqr_tpu.models.base import System, f32_matmuls
 from ilqr_tpu.ops.integrators import step
 
 
@@ -68,6 +68,7 @@ def _stage_expansion(system: System, x, u):
     return f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu
 
 
+@f32_matmuls
 def linearize_trajectory(system: System, X: jnp.ndarray, U: jnp.ndarray) -> TrajectoryExpansion:
     """Expand dynamics/cost along a nominal trajectory, vmapped over time.
 

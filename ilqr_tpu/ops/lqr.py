@@ -17,6 +17,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.smallmat import solve_small
 
 
@@ -28,6 +29,7 @@ class LqrSolution(NamedTuple):
     cost: jnp.ndarray   # scalar
 
 
+@f32_matmuls
 def lqr_backward(A, B, Q, R, Q_f, x_target=None, N: int | None = None):
     """Backward Riccati recursion for time-invariant (A, B, Q, R).
 
@@ -61,6 +63,7 @@ def lqr_backward(A, B, Q, R, Q_f, x_target=None, N: int | None = None):
     return K, k_ff, S, s
 
 
+@f32_matmuls
 def lqr_solve(A, B, Q, R, Q_f, x0, N: int, x_target=None) -> LqrSolution:
     """Solve the finite-horizon LQR and roll out the optimal policy."""
     n_x = A.shape[0]

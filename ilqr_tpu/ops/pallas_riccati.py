@@ -29,6 +29,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.parallel_riccati import (
     RiccatiElement,
@@ -157,7 +158,6 @@ def pack_elements(elems: RiccatiElement, n_pad: int) -> jnp.ndarray:
     """Stack element fields into (F, n_pad), identity-padded on the right."""
     M = elems.A.shape[0]
     n_x = elems.A.shape[-1]
-    rows = []
     A_flat = elems.A.reshape(M, n_x * n_x).T       # (n_x², M)
     C_flat = elems.C.reshape(M, n_x * n_x).T
     J_flat = elems.J.reshape(M, n_x * n_x).T
@@ -184,33 +184,6 @@ def unpack_elements(packed: jnp.ndarray, M: int, n_x: int) -> RiccatiElement:
     eta = packed[2 * nn + n_x:2 * nn + 2 * n_x, :M].T
     J = packed[2 * nn + 2 * n_x:, :M].T.reshape(M, n_x, n_x)
     return RiccatiElement(A=A, b=b, C=C, eta=eta, J=J)
-
-
-def _rows_of(E, n_x) -> Tuple:
-    """Slice the packed (F, N) value into row-symbolic (A, b, C, eta, J)."""
-    nn = n_x * n_x
-    row = lambda i: E[i:i + 1, :]
-    A = [[row(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
-    b = [row(nn + i) for i in range(n_x)]
-    C = [[row(nn + n_x + i * n_x + j) for j in range(n_x)] for i in range(n_x)]
-    eta = [row(2 * nn + n_x + i) for i in range(n_x)]
-    J = [[row(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
-         for i in range(n_x)]
-    return A, b, C, eta, J
-
-
-def _flatten_rows(E_rows) -> jnp.ndarray:
-    A, b, C, eta, J = E_rows
-    rows: List[jnp.ndarray] = []
-    for r in A:
-        rows.extend(r)
-    rows.extend(b)
-    for r in C:
-        rows.extend(r)
-    rows.extend(eta)
-    for r in J:
-        rows.extend(r)
-    return jnp.concatenate(rows, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -381,6 +354,7 @@ def suffix_scan_pallas(elems: RiccatiElement, interpret: bool = False) -> Riccat
     return combine(local, bcast)
 
 
+@f32_matmuls
 def backward_pass_pallas(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, interpret: bool = False
 ):

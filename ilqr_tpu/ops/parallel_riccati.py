@@ -45,6 +45,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.smallmat import inv_small, solve_small
 
@@ -159,6 +160,7 @@ def gains_from_value(exp: TrajectoryExpansion, V_x, V_xx, reg):
     )
 
 
+@f32_matmuls
 def backward_pass_associative(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

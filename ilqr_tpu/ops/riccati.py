@@ -21,10 +21,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.smallmat import solve_small
 
 
+@f32_matmuls
 def backward_pass(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

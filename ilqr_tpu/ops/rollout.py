@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.models.base import System
+from ilqr_tpu.models.base import System, f32_matmuls
 from ilqr_tpu.ops.integrators import step
 
 # Unrolling the sequential scans amortizes TPU per-step dispatch overhead
@@ -28,6 +28,7 @@ from ilqr_tpu.ops.integrators import step
 SCAN_UNROLL = 16
 
 
+@f32_matmuls
 def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
     """Open-loop rollout of a control sequence. Returns X: (N+1, n_x), cost."""
 
@@ -43,6 +44,7 @@ def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
     return X, cost
 
 
+@f32_matmuls
 def closed_loop_rollout(
     system: System,
     x0: jnp.ndarray,
@@ -71,6 +73,7 @@ def closed_loop_rollout(
     return X_new, U_new, cost
 
 
+@f32_matmuls
 def linesearch_rollouts(system, x0, alphas, X_old, U_old, u_ff, K):
     """Roll out every α in the schedule as one vmapped batch.
 

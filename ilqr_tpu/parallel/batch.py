@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ilqr_tpu.models.base import System
-from ilqr_tpu.mpc import run_mpc
+from ilqr_tpu.mpc import run_mpc_batched
 from ilqr_tpu.solver import IlqrConfig, solve
 
 
@@ -35,9 +35,9 @@ def _solve_batched(system, x0_batch, U_init_batch, config):
 
 @functools.partial(jax.jit, static_argnames=("config", "n_sim"))
 def _mpc_batched(solver_system, plant_system, x0_batch, U_init, n_sim, config):
-    return jax.vmap(
-        lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
-    )(x0_batch)
+    return run_mpc_batched(
+        solver_system, plant_system, x0_batch, U_init, n_sim, config
+    )
 
 
 def solve_batched(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.parallel_riccati import (
     RiccatiElement,
@@ -88,6 +89,7 @@ def _backward_block(axis_name, n_blocks, elems_blk, term, exp_blk, reg):
     return u_ff, K, dV
 
 
+@f32_matmuls
 def backward_pass_sharded(
     exp: TrajectoryExpansion,
     mesh: Mesh,

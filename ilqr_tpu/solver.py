@@ -27,7 +27,7 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-from ilqr_tpu.models.base import System
+from ilqr_tpu.models.base import System, f32_matmuls
 from ilqr_tpu.ops.linearize import linearize_trajectory
 from ilqr_tpu.ops.riccati import backward_pass
 from ilqr_tpu.ops.rollout import rollout, linesearch_rollouts
@@ -113,6 +113,7 @@ def _backward(exp, reg, config: IlqrConfig):
     return backward_pass(exp, reg)
 
 
+@f32_matmuls
 def solve(
     system: System,
     x0: jnp.ndarray,

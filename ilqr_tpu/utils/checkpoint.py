@@ -14,14 +14,19 @@ import jax
 import numpy as np
 
 
+def _norm(path: str) -> str:
+    # np.savez appends '.npz' to extensionless paths; keep load symmetric.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree: Any) -> None:
     leaves, _ = jax.tree_util.tree_flatten(tree)
-    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    np.savez(_norm(path), **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
 
 def load_pytree(path: str, like: Any) -> Any:
     """Load leaves saved by `save_pytree` into the structure of ``like``."""
-    data = np.load(path)
+    data = np.load(_norm(path))
     _, treedef = jax.tree_util.tree_flatten(like)
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if len(leaves) != treedef.num_leaves:

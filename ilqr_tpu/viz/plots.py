@@ -75,6 +75,13 @@ def plot_convergence(solution, save_path: str | None = None, show: bool = False)
     m = ~np.isnan(cost)
 
     fig, axs = plt.subplots(3, 1, figsize=(8, 7), sharex=True)
+    if not m.any():
+        # No accepted iterations (e.g. line search failed immediately) —
+        # render empty axes rather than crash on the failed solve.
+        fig.suptitle("iLQR convergence (no accepted iterations)")
+        if save_path:
+            fig.savefig(save_path, dpi=110)
+        return fig
     axs[0].semilogy(k[m], cost[m] - cost[m].min() + 1e-12, ".-")
     axs[0].set_ylabel("cost − best")
     axs[1].semilogy(k[m], alpha[m], ".-")
