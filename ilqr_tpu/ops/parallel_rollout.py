@@ -1,0 +1,108 @@
+"""Parallel-in-time closed-loop rollouts by defect correction.
+
+The exact rollout x_{k+1} = f(x_k, u_k(x_k)) is a sequential recurrence —
+O(N) depth, the last latency-bound stage of the solver (SURVEY.md §5
+"sequence parallelism"; NOTES.md).  This module solves it iteratively with
+O(log N) depth per sweep, which is also what makes a fully horizon-sharded
+solve possible (no cross-device sequential chain):
+
+    repeat `iters` times (Newton-Picard on the whole trajectory):
+      1. evaluate F_k = f(x_k, u_k) for all k IN PARALLEL (vmapped);
+      2. defects d_k = F_k − x_{k+1};
+      3. propagate corrections through the *linearized* closed-loop dynamics
+         δ_{k+1} = A_k δ_k + d_k  (A_k = f_x + f_u K from the current
+         expansion) — an affine recurrence solved by `associative_scan`;
+      4. X ← X + δ.
+
+With A from the surrounding iLQR linearization the sweep is an inexact
+Newton method on the sequence-space residual: quadratic-ish contraction while
+the candidate stays near the linearization point (exactly the line-search
+regime).  The returned max-defect diagnostic certifies the solution; callers
+can fall back to the sequential rollout when it is not small.
+
+cf. temporal parallelization of nonlinear rollouts via Gauss-Newton sweeps
+(Särkkä & García-Fernández's parallel nonlinear smoothers use the same
+structure).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ilqr_tpu.models.base import System, f32_matmuls
+from ilqr_tpu.ops.integrators import step
+
+
+def affine_prefix_scan(A: jnp.ndarray, d: jnp.ndarray, delta0: jnp.ndarray):
+    """Solve δ_{k+1} = A_k δ_k + d_k for k = 0..N-1 in O(log N) depth.
+
+    A: (N, n, n), d: (N, n), delta0: (n,).  Returns δ: (N+1, n).
+    Composition of affine maps (P2, q2)∘(P1, q1) = (P2 P1, P2 q1 + q2) is
+    associative; the prefix products give δ_{k+1} = P_k δ_0 + q_k.
+    """
+
+    def combine(e1, e2):
+        P1, q1 = e1
+        P2, q2 = e2
+        return P2 @ P1, (P2 @ q1[..., None])[..., 0] + q2
+
+    P, q = jax.lax.associative_scan(combine, (A, d), axis=0)
+    deltas = (P @ delta0[None, :, None])[..., 0] + q
+    return jnp.concatenate([delta0[None], deltas], axis=0)
+
+
+@f32_matmuls
+def defect_rollout(
+    system: System,
+    x0: jnp.ndarray,
+    alpha,
+    X_old: jnp.ndarray,
+    U_old: jnp.ndarray,
+    u_ff: jnp.ndarray,
+    K: jnp.ndarray,
+    A_cl: jnp.ndarray,
+    iters: int = 6,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closed-loop line-search rollout by parallel defect correction.
+
+    Same contract as `ilqr_tpu.ops.rollout.closed_loop_rollout`, plus the
+    final max-defect (‖f(x_k,u_k) − x_{k+1}‖∞ over k).  ``A_cl`` is the
+    linearized closed-loop transition f_x + f_u K, (N, n_x, n_x).
+    """
+
+    def controls(X):
+        dx = X[:-1] - X_old[:-1]
+        return U_old + alpha * u_ff + (K @ dx[..., None])[..., 0]
+
+    def sweep(_, X):
+        U = controls(X)
+        F = jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
+        d = F - X[1:]
+        deltas = affine_prefix_scan(A_cl, d, x0 - X[0])
+        return X + deltas
+
+    # Warm start from the nominal trajectory.
+    X = jax.lax.fori_loop(0, iters, sweep, X_old)
+    U = controls(X)
+    F = jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
+    defect = jnp.max(jnp.abs(F - X[1:]))
+    cost = jnp.sum(
+        jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(X[:-1], U)
+    ) + system.terminal_cost(system.params, X[-1])
+    return X, U, cost, defect
+
+
+@f32_matmuls
+def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
+                               iters: int = 6):
+    """All α candidates via vmapped defect-correction rollouts.
+
+    Returns (X_cands, U_cands, costs, defects) with a leading α axis.
+    """
+    A_cl = exp.f_x + exp.f_u @ K
+    return jax.vmap(
+        lambda a: defect_rollout(system, x0, a, X_old, U_old, u_ff, K, A_cl,
+                                 iters)
+    )(alphas)

@@ -1,0 +1,287 @@
+"""Fully horizon-sharded iLQR solve: every per-iteration stage distributed.
+
+`parallel.horizon.backward_pass_sharded` distributes only the Riccati
+factorization; the rollouts remained a global sequential chain.  This module
+shards the *entire* iteration over a ``time`` mesh axis:
+
+* trajectory layout: stages 0..N-1 sharded along time, the terminal state
+  x_N replicated;
+* linearization: embarrassingly parallel per shard (no communication);
+* backward pass: the distributed suffix scan of Riccati elements
+  (local associative scan → all-gathered block totals → boundary combine),
+  as in `parallel.horizon`;
+* line-search rollouts: **defect-correction sweeps**
+  (`ops.parallel_rollout`) — the affine correction recurrence is solved by a
+  distributed *prefix* scan (local prefix products → all-gathered block
+  totals → left-boundary composition), and the only other communication is a
+  single-state halo (`ppermute`) for the next-stage values;
+* acceptance logic operates on psum-reduced, replicated candidate costs —
+  identical decisions on every shard.
+
+Communication per iteration: O(D·n_x²) all-gathers + one n_x-vector halo per
+defect sweep — independent of N.  This is the architecture that scales a
+single solve across a pod slice (BASELINE.json config 5); on one host it is
+validated against the unsharded solver on the virtual CPU mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ilqr_tpu.models.base import System, f32_matmuls
+from ilqr_tpu.ops.integrators import step
+from ilqr_tpu.ops.linearize import _stage_expansion
+from ilqr_tpu.ops.parallel_riccati import RiccatiElement, combine
+from ilqr_tpu.ops.riccati import backward_pass  # noqa: F401  (docs reference)
+from ilqr_tpu.ops.smallmat import solve_small
+from ilqr_tpu.solver import (
+    CONVERGED,
+    IlqrConfig,
+    LINESEARCH_FAILED,
+    MAXITER,
+    RUNNING,
+)
+
+
+def _local_suffix(elems):
+    return jax.lax.associative_scan(
+        lambda a, b: combine(b, a), elems, reverse=True, axis=0
+    )
+
+
+def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u):
+    """Distributed Riccati suffix scan on local expansion blocks."""
+    f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = exp_blk
+    eye_u = jnp.eye(n_u, dtype=l_u.dtype)
+
+    def leaf(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu):
+        R = l_uu + reg * eye_u
+        rhs = jnp.concatenate([l_ux, f_u.T, l_u[:, None]], axis=1)
+        sol = solve_small(R, rhs)
+        Rinv_M = sol[:, : l_ux.shape[1]]
+        Rinv_Bt = sol[:, l_ux.shape[1]:-1]
+        Rinv_r = sol[:, -1]
+        A = f_x - f_u @ Rinv_M
+        b = -f_u @ Rinv_r
+        C = f_u @ Rinv_Bt
+        C = 0.5 * (C + C.T)
+        J = l_xx - l_ux.T @ Rinv_M
+        J = 0.5 * (J + J.T)
+        eta = -(l_x - l_ux.T @ Rinv_r)
+        return RiccatiElement(A, b, C, eta, J)
+
+    elems = jax.vmap(leaf)(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu)
+    term = RiccatiElement(
+        A=jnp.zeros_like(v_xx), b=jnp.zeros_like(v_x),
+        C=jnp.zeros_like(v_xx), eta=-v_x, J=v_xx,
+    )
+
+    d_idx = jax.lax.axis_index(axis)
+    local = _local_suffix(elems)
+    block_total = jax.tree_util.tree_map(lambda a: a[0], local)
+    gathered = jax.lax.all_gather(block_total, axis)
+
+    right = term
+    for j in range(D - 1, -1, -1):
+        blk_j = jax.tree_util.tree_map(lambda a: a[j], gathered)
+        cand = combine(blk_j, right)
+        right = jax.tree_util.tree_map(
+            lambda c, r: jnp.where(j > d_idx, c, r), cand, right
+        )
+
+    bat = jax.vmap(combine, in_axes=(0, None))
+    local_shift = jax.tree_util.tree_map(lambda a: a[1:], local)
+    head = bat(local_shift, right)
+    suffix_next = jax.tree_util.tree_map(
+        lambda h, r: jnp.concatenate([h, r[None]], axis=0), head, right
+    )
+    V_x = -suffix_next.eta
+    V_xx = suffix_next.J
+
+    def gains(f_x, f_u, l_u, l_ux, l_uu, vx, vxx):
+        fuT_Vxx = f_u.T @ vxx
+        Q_u = l_u + f_u.T @ vx
+        Q_ux = l_ux + fuT_Vxx @ f_x
+        Q_uu = l_uu + fuT_Vxx @ f_u + reg * eye_u
+        rhs = jnp.concatenate([Q_ux, Q_u[:, None]], axis=1)
+        sol = -solve_small(Q_uu, rhs)
+        return sol[:, -1], sol[:, :-1]
+
+    u_ff, K = jax.vmap(gains)(f_x, f_u, l_u, l_ux, l_uu, V_x, V_xx)
+    return u_ff, K
+
+
+def _dist_affine_prefix(axis, D, A, d, delta0):
+    """Distributed δ_{k+1} = A_k δ_k + d_k: local prefix scans + boundary.
+
+    A: (B, n, n) local block, d: (B, n), delta0: (n,) replicated (= δ at the
+    global start).  Returns local δ at stages (B, n) (δ_k for local k) and the
+    global final δ_N (replicated).
+    """
+
+    def comp(e1, e2):
+        P1, q1 = e1
+        P2, q2 = e2
+        return P2 @ P1, (P2 @ q1[..., None])[..., 0] + q2
+
+    P_loc, q_loc = jax.lax.associative_scan(comp, (A, d), axis=0)
+    tot = jax.tree_util.tree_map(lambda a: a[-1], (P_loc, q_loc))
+    gathered = jax.lax.all_gather(tot, axis)  # (D, …)
+
+    d_idx = jax.lax.axis_index(axis)
+    n = A.shape[-1]
+    left = (jnp.eye(n, dtype=A.dtype), jnp.zeros((n,), A.dtype))
+    # Compose blocks strictly to the LEFT of this shard, in order 0..d-1.
+    for j in range(D):
+        blk = jax.tree_util.tree_map(lambda a: a[j], gathered)
+        cand = comp(left, blk)
+        left = jax.tree_util.tree_map(
+            lambda c, l: jnp.where(j < d_idx, c, l), cand, left
+        )
+    # δ at the start of this shard.
+    delta_start = (left[0] @ delta0[..., None])[..., 0] + left[1]
+    # δ after each local stage: local prefix applied to delta_start.
+    deltas_after = (P_loc @ delta_start[None, :, None])[..., 0] + q_loc
+    # δ at local stage positions (before each stage): shift.
+    deltas_at = jnp.concatenate([delta_start[None], deltas_after[:-1]], axis=0)
+    # Global final δ_N: composition of ALL blocks applied to delta0.
+    full = (jnp.eye(n, dtype=A.dtype), jnp.zeros((n,), A.dtype))
+    for j in range(D):
+        blk = jax.tree_util.tree_map(lambda a: a[j], gathered)
+        full = comp(full, blk)
+    delta_N = (full[0] @ delta0[..., None])[..., 0] + full[1]
+    return deltas_at, delta_N
+
+
+def _iteration(system, config, alphas, axis, D, N_local, carry):
+    """One sharded iLQR iteration (runs under shard_map)."""
+    X_loc, x_N, U_loc, cost, prev_cost, k, status = carry
+    n_u = U_loc.shape[-1]
+
+    # --- 1. Local linearization (embarrassingly parallel). ---
+    exp_blk = jax.vmap(lambda x, u: _stage_expansion(system, x, u))(X_loc, U_loc)
+    lf = lambda xx: system.terminal_cost(system.params, xx)
+    v_x = jax.grad(lf)(x_N)
+    v_xx = jax.hessian(lf)(x_N)
+
+    # --- 2. Distributed backward pass. ---
+    reg = jnp.asarray(0.0, X_loc.dtype)
+    u_ff, K = _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u)
+
+    f_x, f_u = exp_blk[0], exp_blk[1]
+    A_cl = f_x + f_u @ K
+
+    # --- 3. Defect-correction line search, one α at a time (static loop). ---
+    def rollout_alpha(alpha):
+        Xc, xNc = X_loc, x_N
+
+        def sweep(_, val):
+            Xc, xNc = val
+            U = U_loc + alpha * u_ff + (K @ (Xc - X_loc)[..., None])[..., 0]
+            F = jax.vmap(lambda x, u: step(system, x, u))(Xc, U)
+            # next-stage states: shift left within the shard; the halo (first
+            # state of the right neighbor, or x_N for the last shard).
+            first = Xc[0]
+            halo = jax.lax.ppermute(
+                first, axis, [(i, (i - 1) % D) for i in range(D)]
+            )
+            is_last = jax.lax.axis_index(axis) == D - 1
+            halo = jnp.where(is_last, xNc, halo)
+            X_next = jnp.concatenate([Xc[1:], halo[None]], axis=0)
+            d = F - X_next
+            delta0 = jnp.zeros_like(x_N)  # δ at stage 0 (x0 is fixed)
+            deltas_at, delta_N = _dist_affine_prefix(axis, D, A_cl, d, delta0)
+            return Xc + deltas_at, xNc + delta_N
+
+        Xc, xNc = jax.lax.fori_loop(0, config.defect_iters, sweep, (Xc, xNc))
+        U = U_loc + alpha * u_ff + (K @ (Xc - X_loc)[..., None])[..., 0]
+        F = jax.vmap(lambda x, u: step(system, x, u))(Xc, U)
+        first = Xc[0]
+        halo = jax.lax.ppermute(first, axis, [(i, (i - 1) % D) for i in range(D)])
+        is_last = jax.lax.axis_index(axis) == D - 1
+        halo = jnp.where(is_last, xNc, halo)
+        X_next = jnp.concatenate([Xc[1:], halo[None]], axis=0)
+        defect = jax.lax.pmax(jnp.max(jnp.abs(F - X_next)), axis)
+        c_loc = jnp.sum(
+            jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(Xc, U)
+        )
+        c = jax.lax.psum(c_loc, axis) + system.terminal_cost(system.params, xNc)
+        return Xc, xNc, U, c, defect
+
+    cands = [rollout_alpha(a) for a in alphas]
+    costs = jnp.stack([c[3] for c in cands])
+    defects = jnp.stack([c[4] for c in cands])
+    accept = (costs <= cost) & jnp.isfinite(costs) & (defects < config.defect_tol)
+    any_accept = jnp.any(accept)
+    idx = jnp.argmax(accept)
+
+    Xs = jnp.stack([c[0] for c in cands])
+    xNs = jnp.stack([c[1] for c in cands])
+    Us = jnp.stack([c[2] for c in cands])
+
+    X_new = jnp.where(any_accept, Xs[idx], X_loc)
+    xN_new = jnp.where(any_accept, xNs[idx], x_N)
+    U_new = jnp.where(any_accept, Us[idx], U_loc)
+    cost_new = jnp.where(any_accept, costs[idx], cost)
+    status_new = jnp.where(any_accept, status, LINESEARCH_FAILED)
+    return (X_new, xN_new, U_new, cost_new, cost, k + 1, status_new)
+
+
+@f32_matmuls
+def solve_horizon_sharded(
+    system: System,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    config: IlqrConfig,
+    mesh: Mesh,
+    axis: str = "time",
+):
+    """iLQR solve with every iteration stage sharded along the horizon.
+
+    Returns (X, U, cost, iterations, status) with global (unsharded) outputs.
+    Requires N divisible by mesh.shape[axis].  Uses defect-certified
+    line-search rollouts (config.defect_iters / defect_tol).
+    """
+    D = mesh.shape[axis]
+    N = U_init.shape[0]
+    if N % D != 0:
+        raise ValueError(f"horizon N={N} not divisible by {D} shards")
+    alphas = tuple(config.alpha_schedule())
+
+    # Initial open-loop rollout (one-time, global).
+    from ilqr_tpu.ops.rollout import rollout as _rollout
+
+    X0_full, cost0 = _rollout(system, x0, U_init)
+    X0 = X0_full[:-1]
+    xN0 = X0_full[-1]
+
+    body_sharded = jax.shard_map(
+        partial(_iteration, system, config, alphas, axis, D, N // D),
+        mesh=mesh,
+        in_specs=((P(axis), P(), P(axis), P(), P(), P(), P()),),
+        out_specs=(P(axis), P(), P(axis), P(), P(), P(), P()),
+        # The body freely mixes replicated scalars (costs, status) with
+        # shard-varying blocks and halos; skip the varying-axes type checker.
+        check_vma=False,
+    )
+
+    def cond(carry):
+        _, _, _, cost, prev, k, status = carry
+        not_conv = (k == 0) | (jnp.abs(cost - prev) > config.tol)
+        return (status == RUNNING) & (k < config.maxiter) & not_conv
+
+    init = (X0, xN0, U_init, cost0, jnp.inf, jnp.asarray(0), jnp.asarray(RUNNING))
+    X, xN, U, cost, prev, k, status = jax.lax.while_loop(
+        cond, lambda c: body_sharded(c), init
+    )
+    status = jnp.where(
+        status == RUNNING,
+        jnp.where(k >= config.maxiter, MAXITER, CONVERGED),
+        status,
+    )
+    X_full = jnp.concatenate([X, xN[None]], axis=0)
+    return X_full, U, cost, k, status

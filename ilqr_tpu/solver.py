@@ -58,6 +58,11 @@ class IlqrConfig:
     # chain, then one materializing rollout for the accepted α) — pays off on
     # long horizons where XLA's ~12 µs/step scan overhead dominates.
     rollout: str = "scan"
+    # Defect-correction rollout settings (rollout='defect'): Newton-Picard
+    # sweeps per rollout and the certification threshold above which a
+    # candidate is rejected as unconverged.
+    defect_iters: int = 8
+    defect_tol: float = 1e-3
     reg_init: float = 0.0
     reg_factor: float = 10.0
     reg_max: float = 1e9
@@ -178,11 +183,24 @@ def solve(
                 costs = linesearch_costs_pallas(
                     system, x0, alphas, s["X"], s["U"], u_ff, K
                 )
+                certified = jnp.ones_like(costs, dtype=bool)
+            elif config.rollout == "defect":
+                from ilqr_tpu.ops.parallel_rollout import (
+                    linesearch_defect_rollouts,
+                )
+
+                X_c, U_c, costs, defects = linesearch_defect_rollouts(
+                    system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                    iters=config.defect_iters,
+                )
+                # Only defect-certified candidates are eligible.
+                certified = defects < config.defect_tol
             else:
                 X_c, U_c, costs = linesearch_rollouts(
                     system, x0, alphas, s["X"], s["U"], u_ff, K
                 )
-            accept = (costs <= s["cost"]) & jnp.isfinite(costs) & bp_ok
+                certified = jnp.ones_like(costs, dtype=bool)
+            accept = (costs <= s["cost"]) & jnp.isfinite(costs) & bp_ok & certified
             any_accept = jnp.any(accept)
             # First improving α — same order as the reference backtracking loop.
             idx = jnp.argmax(accept)
