@@ -68,6 +68,19 @@ class IlqrConfig:
     reg_max: float = 1e9
     adaptive_reg: bool = False
 
+    def __post_init__(self):
+        if self.backward not in ("auto", "scan", "pscan", "pallas"):
+            raise ValueError(
+                f"backward must be 'auto'|'scan'|'pscan'|'pallas', "
+                f"got {self.backward!r}"
+            )
+        if self.rollout not in ("scan", "pallas", "defect"):
+            raise ValueError(
+                f"rollout must be 'scan'|'pallas'|'defect', got {self.rollout!r}"
+            )
+        if self.maxiter < 1:
+            raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
+
     def alpha_schedule(self) -> Tuple[float, ...]:
         """The reference's backtracking schedule as a static tuple
         (α0, α0·γ, …), truncated at min_alpha (`iLQR_class.py:279-301`)."""
