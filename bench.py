@@ -80,6 +80,32 @@ def main():
     log(metric="double_pendulum_full_solve_s", value=t_solve,
         reference_cpu_s=1.462)
 
+    # --- Secondary: parallel-in-time line search (shared Pallas affine scan)
+    # vs the vmapped sequential rollouts, long horizon. ---
+    from ilqr_tpu.ops.parallel_rollout import linesearch_defect_rollouts
+    from ilqr_tpu.ops.riccati import backward_pass as bp_seq
+    from ilqr_tpu.ops.rollout import linesearch_rollouts
+
+    N_ls = 100_000
+    U_ls = jnp.zeros((N_ls, 2))
+    X_ls, _ = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u))(U_ls)
+    exp_ls = jax.block_until_ready(
+        jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X_ls, U_ls)
+    )
+    uff_ls, K_ls, _, _ = jax.block_until_ready(
+        jax.jit(lambda e: bp_seq(e, 0.0))(exp_ls)
+    )
+    alphas = jnp.asarray([0.5**i for i in range(10)])
+    ls_seq = jax.jit(lambda: linesearch_rollouts(
+        sys_, jnp.zeros(4), alphas, X_ls, U_ls, uff_ls, K_ls)[2])
+    ls_def = jax.jit(lambda: linesearch_defect_rollouts(
+        sys_, jnp.zeros(4), alphas, X_ls, U_ls, uff_ls, K_ls, exp_ls,
+        iters=8)[2])
+    t_ls_seq = timeit(ls_seq, reps=5)
+    t_ls_def = timeit(ls_def, reps=5)
+    log(metric="linesearch_sequential_ms", value=t_ls_seq * 1e3, N=N_ls)
+    log(metric="linesearch_defect_pallas_ms", value=t_ls_def * 1e3, N=N_ls)
+
     # --- Secondary: batched solves/s (BASELINE config 4 throughput). ---
     B, N_b = 1024, 128
     x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))

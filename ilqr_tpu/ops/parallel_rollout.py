@@ -96,13 +96,48 @@ def defect_rollout(
 
 @f32_matmuls
 def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
-                               iters: int = 6):
-    """All α candidates via vmapped defect-correction rollouts.
+                               iters: int = 6, engine: str = "auto"):
+    """All α candidates via defect-correction sweeps with a SHARED scan.
 
-    Returns (X_cands, U_cands, costs, defects) with a leading α axis.
+    The linearized closed-loop transition A_cl = f_x + f_u K is independent of
+    α, so all candidates share one transition chain: each sweep runs a single
+    multi-candidate affine prefix scan (`ops.pallas_affine`) instead of one
+    scan per α — one P-chain's worth of matrix products regardless of the
+    schedule length.  Returns (X_cands, U_cands, costs, defects) with a
+    leading α axis; `engine` selects the scan backend ('auto'|'pallas'|'xla').
     """
+    from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
+
     A_cl = exp.f_x + exp.f_u @ K
-    return jax.vmap(
-        lambda a: defect_rollout(system, x0, a, X_old, U_old, u_ff, K, A_cl,
-                                 iters)
-    )(alphas)
+    n_alpha = alphas.shape[0]
+    X_init = jnp.broadcast_to(X_old, (n_alpha,) + X_old.shape)
+
+    def controls(X):
+        dx = X[:, :-1] - X_old[None, :-1]
+        return (U_old[None] + alphas[:, None, None] * u_ff[None]
+                + jnp.einsum("kij,akj->aki", K, dx))
+
+    def eval_f(X, U):
+        return jax.vmap(
+            jax.vmap(lambda x, u: step(system, x, u))
+        )(X[:, :-1], U)
+
+    def sweep(_, X):
+        U = controls(X)
+        F = eval_f(X, U)
+        d = F - X[:, 1:]
+        delta0 = x0[None] - X[:, 0]
+        deltas = affine_prefix_scan_multi(A_cl, d, delta0, engine=engine)
+        return X + deltas
+
+    X = jax.lax.fori_loop(0, iters, sweep, X_init)
+    U = controls(X)
+    F = eval_f(X, U)
+    defects = jnp.max(jnp.abs(F - X[:, 1:]), axis=(1, 2))
+    stage = jax.vmap(
+        jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))
+    )(X[:, :-1], U)
+    costs = jnp.sum(stage, axis=1) + jax.vmap(
+        lambda xN: system.terminal_cost(system.params, xN)
+    )(X[:, -1])
+    return X, U, costs, defects

@@ -76,3 +76,57 @@ def backward_pass(
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
     return u_ff, K, dV, ok
+
+
+@f32_matmuls
+def backward_pass_limited(
+    exp: TrajectoryExpansion,
+    U_old: jnp.ndarray,
+    u_lo: jnp.ndarray,
+    u_hi: jnp.ndarray,
+    reg: jnp.ndarray | float = 0.0,
+    qp_iters: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Control-limited backward pass (Tassa et al. 2014, see ops/boxqp.py).
+
+    Same contract as `backward_pass`, plus box limits lo ≤ u ≤ hi enforced at
+    the gain computation: the feedforward solves a boxQP over the *delta*
+    bounds [lo − u_k, hi − u_k] and feedback rows of clamped controls are
+    zeroed.  No reference counterpart (the reference has no hard limits).
+    """
+    from ilqr_tpu.ops.boxqp import boxqp_with_gains
+
+    n_u = exp.l_u.shape[-1]
+    eye_u = jnp.eye(n_u, dtype=exp.l_u.dtype)
+    reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
+
+    def body(carry, inp):
+        V_x, V_xx = carry
+        f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, u_k = inp
+
+        fuT_Vxx = f_u.T @ V_xx
+        Q_x = l_x + f_x.T @ V_x
+        Q_u = l_u + f_u.T @ V_x
+        Q_xx = l_xx + f_x.T @ V_xx @ f_x
+        Q_ux = l_ux + fuT_Vxx @ f_x
+        Q_uu = l_uu + fuT_Vxx @ f_u
+
+        Q_uu_reg = Q_uu + reg * eye_u
+        u_ff, free, K = boxqp_with_gains(
+            Q_uu_reg, Q_u, u_lo - u_k, u_hi - u_k, Q_ux, iters=qp_iters
+        )
+
+        V_x_new = Q_x + K.T @ Q_u
+        V_xx_new = Q_xx + Q_ux.T @ K
+
+        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
+        return (V_x_new, V_xx_new), (u_ff, K, dV)
+
+    init = (exp.v_x, exp.v_xx)
+    xs = (exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu,
+          U_old)
+    (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
+                                          unroll=8)
+    dV = jnp.sum(dVs, axis=0)
+    ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
+    return u_ff, K, dV, ok

@@ -53,14 +53,20 @@ def closed_loop_rollout(
     U_old: jnp.ndarray,
     u_ff: jnp.ndarray,
     K: jnp.ndarray,
+    u_limits=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closed-loop line-search rollout. Time-major: X_old (N+1,n_x), U_old (N,n_u),
-    u_ff (N,n_u), K (N,n_u,n_x). Returns (X_new, U_new, cost)."""
+    u_ff (N,n_u), K (N,n_u,n_x). Returns (X_new, U_new, cost).
+
+    ``u_limits`` = (lo, hi) clips each applied control to hard box limits
+    (control-limited iLQR — see ops/boxqp.py; no reference counterpart)."""
 
     def body(carry, inp):
         x, c = carry
         x_old, u_old, uff_k, K_k = inp
         u = u_old + alpha * uff_k + K_k @ (x - x_old)
+        if u_limits is not None:
+            u = jnp.clip(u, u_limits[0], u_limits[1])
         c = c + system.stage_cost(system.params, x, u)
         x1 = step(system, x, u)
         return (x1, c), (x, u)
@@ -74,11 +80,13 @@ def closed_loop_rollout(
 
 
 @f32_matmuls
-def linesearch_rollouts(system, x0, alphas, X_old, U_old, u_ff, K):
+def linesearch_rollouts(system, x0, alphas, X_old, U_old, u_ff, K,
+                        u_limits=None):
     """Roll out every α in the schedule as one vmapped batch.
 
     Returns (X_cands, U_cands, costs) with a leading α axis.
     """
     return jax.vmap(
-        lambda a: closed_loop_rollout(system, x0, a, X_old, U_old, u_ff, K)
+        lambda a: closed_loop_rollout(system, x0, a, X_old, U_old, u_ff, K,
+                                      u_limits)
     )(alphas)

@@ -63,10 +63,20 @@ class IlqrConfig:
     # candidate is rejected as unconverged.
     defect_iters: int = 8
     defect_tol: float = 1e-3
+    # Scan backend for the defect sweeps' shared affine prefix scan:
+    # 'auto' = fused Pallas kernel on TPU (n_x ≤ 8), XLA otherwise.
+    defect_engine: str = "auto"
     reg_init: float = 0.0
     reg_factor: float = 10.0
     reg_max: float = 1e9
     adaptive_reg: bool = False
+    # Hard box limits on controls (control-limited iLQR, ops/boxqp.py): a
+    # scalar or length-n_u tuple each, or None for unconstrained (the
+    # reference's only treatment is a commented-out log-barrier,
+    # `pendulum_sys.py:84-85`).  Static → changing limits recompiles.
+    u_min: Any = None
+    u_max: Any = None
+    boxqp_iters: int = 8
 
     def __post_init__(self):
         if self.backward not in ("auto", "scan", "pscan", "pallas"):
@@ -78,8 +88,32 @@ class IlqrConfig:
             raise ValueError(
                 f"rollout must be 'scan'|'pallas'|'defect', got {self.rollout!r}"
             )
+        if self.defect_engine not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"defect_engine must be 'auto'|'pallas'|'xla', "
+                f"got {self.defect_engine!r}"
+            )
+        if (self.u_min is None) != (self.u_max is None):
+            raise ValueError("u_min and u_max must be set together")
+        if self.u_min is not None:
+            if self.backward not in ("auto", "scan"):
+                raise ValueError(
+                    "control limits require the sequential backward pass "
+                    "(backward='scan'/'auto'); the associative-scan elements "
+                    "assume unconstrained minimization"
+                )
+            if self.rollout != "scan":
+                raise ValueError("control limits require rollout='scan'")
         if self.maxiter < 1:
             raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
+
+    def limit_arrays(self, n_u: int, dtype):
+        """(lo, hi) broadcast to (n_u,), or None if unconstrained."""
+        if self.u_min is None:
+            return None
+        lo = jnp.broadcast_to(jnp.asarray(self.u_min, dtype=dtype), (n_u,))
+        hi = jnp.broadcast_to(jnp.asarray(self.u_max, dtype=dtype), (n_u,))
+        return lo, hi
 
     def alpha_schedule(self) -> Tuple[float, ...]:
         """The reference's backtracking schedule as a static tuple
@@ -108,7 +142,13 @@ class IlqrSolution:
     grad_trace: Any   # (maxiter,) max |u_ff| per iteration (nan-padded)
 
 
-def _backward(exp, reg, config: IlqrConfig):
+def _backward(exp, U, reg, config: IlqrConfig):
+    if config.u_min is not None:
+        from ilqr_tpu.ops.riccati import backward_pass_limited
+
+        lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
+        return backward_pass_limited(exp, U, lo, hi, reg,
+                                     qp_iters=config.boxqp_iters)
     backward = config.backward
     if backward == "auto":
         # Sequential scan has the least per-step work but O(N) latency; the
@@ -154,6 +194,10 @@ def solve(
     N, n_u = U_init.shape
     n_x = x0.shape[0]
 
+    limits = config.limit_arrays(n_u, U_init.dtype)
+    if limits is not None:
+        # Feasible initial guess: the initial rollout applies U_init verbatim.
+        U_init = jnp.clip(U_init, limits[0], limits[1])
     X0, cost0 = rollout(system, x0, U_init)
     nan = jnp.full((config.maxiter,), jnp.nan, dtype=cost0.dtype)
 
@@ -185,7 +229,7 @@ def solve(
 
         def iterate(s):
             exp = linearize_trajectory(system, s["X"], s["U"])
-            u_ff, K, dV, bp_ok = _backward(exp, s["reg"], config)
+            u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config)
 
             if config.rollout == "pallas":
                 from ilqr_tpu.ops.pallas_rollout import (
@@ -204,13 +248,14 @@ def solve(
 
                 X_c, U_c, costs, defects = linesearch_defect_rollouts(
                     system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
-                    iters=config.defect_iters,
+                    iters=config.defect_iters, engine=config.defect_engine,
                 )
                 # Only defect-certified candidates are eligible.
                 certified = defects < config.defect_tol
             else:
                 X_c, U_c, costs = linesearch_rollouts(
-                    system, x0, alphas, s["X"], s["U"], u_ff, K
+                    system, x0, alphas, s["X"], s["U"], u_ff, K,
+                    u_limits=config.limit_arrays(n_u, U_init.dtype),
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
             accept = (costs <= s["cost"]) & jnp.isfinite(costs) & bp_ok & certified
