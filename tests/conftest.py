@@ -14,6 +14,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Most suite wall-time is XLA compilation; persist it across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ilqr_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable the persistent compilation cache here.  On this jaxlib
+# the XLA:CPU AOT (de)serialization is unreliable for some executables:
+# reading entries compiled on a host with different CPU features aborts the
+# process, and writing entries for mesh-sharded programs aborts too
+# ("Fatal Python error: Aborted" in compilation_cache.put/get_executable_
+# and_time).  The suite pays recompilation instead of risking hard aborts.
