@@ -48,6 +48,41 @@ class TrajectoryExpansion:
     v_xx: Any
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DynamicsHessians:
+    """Second-order dynamics terms for full DDP (no reference counterpart —
+    the reference solver is Gauss-Newton iLQR only, `iLQR_class.py:100-104`).
+
+    Index convention: ``f_xx[k, i, a, b] = ∂²f_i/∂x_a∂x_b`` at step k, etc.
+
+    Shapes: f_xx (N, n_x, n_x, n_x), f_ux (N, n_x, n_u, n_x),
+    f_uu (N, n_x, n_u, n_u).
+    """
+
+    f_xx: Any
+    f_ux: Any
+    f_uu: Any
+
+
+@f32_matmuls
+def dynamics_hessians(system: System, X: jnp.ndarray, U: jnp.ndarray
+                      ) -> DynamicsHessians:
+    """Second derivatives of the discrete step along the trajectory, vmapped
+    over time (forward-over-forward AD; n_x ≤ O(10) keeps this cheap)."""
+    f = lambda xx, uu: step(system, xx, uu)
+
+    def stage(x, u):
+        f_xx = jax.jacfwd(jax.jacfwd(f, argnums=0), argnums=0)(x, u)
+        f_ux = jax.jacfwd(jax.jacfwd(f, argnums=1), argnums=0)(x, u)
+        f_uu = jax.jacfwd(jax.jacfwd(f, argnums=1), argnums=1)(x, u)
+        # jacfwd(jacfwd(f, 1), 0) yields ∂²f/∂x∂u with axes (i, u, x) already.
+        return f_xx, f_ux, f_uu
+
+    f_xx, f_ux, f_uu = jax.vmap(stage)(X[:-1], U)
+    return DynamicsHessians(f_xx=f_xx, f_ux=f_ux, f_uu=f_uu)
+
+
 def _stage_expansion(system: System, x, u):
     """All seven per-step derivative blocks in one fused evaluation.
 

@@ -28,9 +28,15 @@ from ilqr_tpu.ops.smallmat import solve_small
 
 @f32_matmuls
 def backward_pass(
-    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the Riccati recursion.
+
+    With ``hess`` (a `DynamicsHessians`), adds the full-DDP second-order
+    dynamics terms ``V_x·f_xx / V_x·f_ux / V_x·f_uu`` to the Q-expansion
+    (Jacobson & Mayne; the reference is Gauss-Newton iLQR only).  DDP is
+    inherently sequential — the terms couple to the running V_x, so they have
+    no associative-scan/Pallas counterpart.
 
     Returns:
         u_ff: (N, n_u) feedforward controls
@@ -44,7 +50,7 @@ def backward_pass(
 
     def body(carry, inp):
         V_x, V_xx = carry
-        f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = inp
+        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu), h = inp
 
         # Q-expansion (`iLQR_class.py:100-104`).
         fuT_Vxx = f_u.T @ V_xx
@@ -53,6 +59,11 @@ def backward_pass(
         Q_xx = l_xx + f_x.T @ V_xx @ f_x
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u
+        if h is not None:
+            f_xx, f_ux, f_uu = h
+            Q_xx = Q_xx + jnp.tensordot(V_x, f_xx, axes=1)
+            Q_ux = Q_ux + jnp.tensordot(V_x, f_ux, axes=1)
+            Q_uu = Q_uu + jnp.tensordot(V_x, f_uu, axes=1)
 
         Q_uu_reg = Q_uu + reg * eye_u
         # Gains (`iLQR_class.py:109-110`); one factorization for both solves.
@@ -69,7 +80,8 @@ def backward_pass(
         return (V_x_new, V_xx_new), (u_ff, K, dV)
 
     init = (exp.v_x, exp.v_xx)
-    xs = (exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu)
+    xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu),
+          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu))
     # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py).
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
                                           unroll=8)
@@ -86,6 +98,7 @@ def backward_pass_limited(
     u_hi: jnp.ndarray,
     reg: jnp.ndarray | float = 0.0,
     qp_iters: int = 8,
+    hess=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Control-limited backward pass (Tassa et al. 2014, see ops/boxqp.py).
 
@@ -102,7 +115,7 @@ def backward_pass_limited(
 
     def body(carry, inp):
         V_x, V_xx = carry
-        f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, u_k = inp
+        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, u_k), h = inp
 
         fuT_Vxx = f_u.T @ V_xx
         Q_x = l_x + f_x.T @ V_x
@@ -110,6 +123,11 @@ def backward_pass_limited(
         Q_xx = l_xx + f_x.T @ V_xx @ f_x
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u
+        if h is not None:
+            f_xx, f_ux, f_uu = h
+            Q_xx = Q_xx + jnp.tensordot(V_x, f_xx, axes=1)
+            Q_ux = Q_ux + jnp.tensordot(V_x, f_ux, axes=1)
+            Q_uu = Q_uu + jnp.tensordot(V_x, f_uu, axes=1)
 
         Q_uu_reg = Q_uu + reg * eye_u
         u_ff, free, K = boxqp_with_gains(
@@ -123,8 +141,9 @@ def backward_pass_limited(
         return (V_x_new, V_xx_new), (u_ff, K, dV)
 
     init = (exp.v_x, exp.v_xx)
-    xs = (exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu,
-          U_old)
+    xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu,
+           U_old),
+          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu))
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
                                           unroll=8)
     dV = jnp.sum(dVs, axis=0)

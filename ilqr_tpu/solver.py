@@ -53,6 +53,12 @@ class IlqrConfig:
     # 'auto' picks the fused Pallas parallel scan on TPU for n_x≤4, N≥256 and
     # the sequential scan otherwise; explicit: 'scan' | 'pscan' | 'pallas'.
     backward: str = "auto"
+    # Full DDP: add the second-order dynamics terms V_x·f_xx/f_ux/f_uu to the
+    # Q-expansion (Jacobson & Mayne).  Quadratic local convergence near the
+    # optimum at the price of an extra Hessian evaluation per iteration and a
+    # possibly-indefinite Q_uu — pair with adaptive_reg=True on hard problems.
+    # Sequential backward only (the terms couple to the running V_x).
+    ddp: bool = False
     # Line-search rollout engine: 'scan' = one vmapped XLA rollout batch over
     # all α; 'pallas' = fused sequential kernels (candidate costs in one
     # chain, then one materializing rollout for the accepted α) — pays off on
@@ -92,6 +98,12 @@ class IlqrConfig:
             raise ValueError(
                 f"defect_engine must be 'auto'|'pallas'|'xla', "
                 f"got {self.defect_engine!r}"
+            )
+        if self.ddp and self.backward not in ("auto", "scan"):
+            raise ValueError(
+                "ddp=True requires the sequential backward pass "
+                "(backward='scan'/'auto'); the second-order dynamics terms "
+                "couple to the running V_x and have no associative form"
             )
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
@@ -142,13 +154,15 @@ class IlqrSolution:
     grad_trace: Any   # (maxiter,) max |u_ff| per iteration (nan-padded)
 
 
-def _backward(exp, U, reg, config: IlqrConfig):
+def _backward(exp, U, reg, config: IlqrConfig, hess=None):
     if config.u_min is not None:
         from ilqr_tpu.ops.riccati import backward_pass_limited
 
         lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
         return backward_pass_limited(exp, U, lo, hi, reg,
-                                     qp_iters=config.boxqp_iters)
+                                     qp_iters=config.boxqp_iters, hess=hess)
+    if config.ddp:
+        return backward_pass(exp, reg, hess=hess)
     backward = config.backward
     if backward == "auto":
         # Sequential scan has the least per-step work but O(N) latency; the
@@ -229,7 +243,13 @@ def solve(
 
         def iterate(s):
             exp = linearize_trajectory(system, s["X"], s["U"])
-            u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config)
+            if config.ddp:
+                from ilqr_tpu.ops.linearize import dynamics_hessians
+
+                hess = dynamics_hessians(system, s["X"], s["U"])
+            else:
+                hess = None
+            u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config, hess)
 
             if config.rollout == "pallas":
                 from ilqr_tpu.ops.pallas_rollout import (
@@ -252,6 +272,33 @@ def solve(
                 )
                 # Only defect-certified candidates are eligible.
                 certified = defects < config.defect_tol
+
+                # Accept-first-improving is only faithful if every candidate
+                # EARLIER in the schedule than the winner has a known (exact)
+                # cost.  If an uncertified candidate precedes the first
+                # certified-improving one — or nothing certifies at all (the
+                # Newton-Picard sweeps diverge far from the linearization
+                # point) — fall back to the exact sequential rollouts instead
+                # of silently creeping along tiny certified α.  The branch is
+                # only *executed* when taken (lax.cond) on unbatched solves;
+                # under vmap it lowers to a select and both run — 'defect'
+                # targets long single-instance horizons, where that is moot.
+                acc_par = (costs <= s["cost"]) & jnp.isfinite(costs) & certified
+                idx_par = jnp.argmax(acc_par)
+                preceding_uncertified = jnp.any(
+                    ~certified & (jnp.arange(alphas.shape[0]) < idx_par))
+                par_ok = jnp.any(acc_par) & ~preceding_uncertified
+
+                def exact(_):
+                    Xs, Us, cs = linesearch_rollouts(
+                        system, x0, alphas, s["X"], s["U"], u_ff, K)
+                    return Xs, Us, cs, jnp.ones_like(cs, dtype=bool)
+
+                def keep(_):
+                    return X_c, U_c, costs, certified
+
+                X_c, U_c, costs, certified = jax.lax.cond(
+                    par_ok, keep, exact, None)
             else:
                 X_c, U_c, costs = linesearch_rollouts(
                     system, x0, alphas, s["X"], s["U"], u_ff, K,
