@@ -6,4 +6,5 @@ from ilqr_tpu.models.pendulum import make_pendulum
 from ilqr_tpu.models.double_pendulum import make_double_pendulum
 from ilqr_tpu.models.cartpole import make_cartpole
 from ilqr_tpu.models.quadrotor import make_quadrotor, hover_controls
+from ilqr_tpu.models.car import make_car, obstacle_constraints
 from ilqr_tpu.models.linear import make_lti, cont2disc

@@ -106,3 +106,29 @@ def test_solve_horizon_sharded_indivisible_raises():
     with pytest.raises(ValueError, match="divisible"):
         solve_horizon_sharded(sys_, jnp.zeros(2), jnp.zeros((401, 1)),
                               it.IlqrConfig(), mesh)
+
+
+def test_solver_defect_mode_fallback_when_uncertified():
+    # defect_tol = -1 certifies NOTHING: every iteration must take the exact
+    # sequential fallback inside the jitted loop and reproduce scan mode
+    # identically (same accepted α sequence, same trajectory).
+    sys_, x0, _, U0, _, _, _ = _linesearch_setting()
+    cfg_s = it.IlqrConfig(maxiter=60, tol=1e-6)
+    cfg_d = it.IlqrConfig(maxiter=60, tol=1e-6, rollout="defect",
+                          defect_iters=1, defect_tol=-1.0)
+    a = it.solve(sys_, x0, U0, cfg_s)
+    b = jax.jit(lambda x: it.solve(sys_, x, U0, cfg_d))(x0)
+    assert int(b.status) == it.CONVERGED
+    assert int(b.iterations) == int(a.iterations)
+    np.testing.assert_allclose(np.asarray(b.alpha_trace),
+                               np.asarray(a.alpha_trace))
+    np.testing.assert_allclose(np.asarray(b.U), np.asarray(a.U), atol=1e-6)
+
+    # Hybrid regime: one sweep only certifies small steps early on; the
+    # fallback must keep the full schedule available and still converge to
+    # the scan-mode optimum.
+    cfg_h = it.IlqrConfig(maxiter=60, tol=1e-6, rollout="defect",
+                          defect_iters=1, defect_tol=1e-4)
+    c = jax.jit(lambda x: it.solve(sys_, x, U0, cfg_h))(x0)
+    assert int(c.status) == it.CONVERGED
+    np.testing.assert_allclose(float(c.cost), float(a.cost), rtol=1e-4)
