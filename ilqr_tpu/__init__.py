@@ -27,6 +27,17 @@ from ilqr_tpu.solver import (
     LINESEARCH_FAILED,
     MAXITER,
 )
+from ilqr_tpu.tracking import tvlqr_gains, track, track_solution
+from ilqr_tpu.constrained import (
+    solve_constrained,
+    ConstraintSet,
+    ConstrainedSolution,
+    AlConfig,
+    box_control_constraints,
+    goal_constraint,
+    merge_constraints,
+    INFEASIBLE,
+)
 
 __version__ = "0.1.0"
 
@@ -37,4 +48,8 @@ __all__ = [
     "backward_pass_associative", "lqr_solve", "lqr_backward",
     "solve", "IlqrConfig", "IlqrSolution",
     "CONVERGED", "LINESEARCH_FAILED", "MAXITER",
+    "solve_constrained", "ConstraintSet", "ConstrainedSolution", "AlConfig",
+    "box_control_constraints", "goal_constraint", "merge_constraints",
+    "INFEASIBLE",
+    "tvlqr_gains", "track", "track_solution",
 ]
