@@ -94,3 +94,47 @@ def test_indivisible_horizon_raises():
     mesh = make_mesh({"time": 8})
     with pytest.raises(ValueError, match="divisible"):
         backward_pass_sharded(exp, mesh, axis="time")
+
+
+def test_solve_multistart_picks_best_basin():
+    from ilqr_tpu.parallel.batch import solve_multistart
+
+    # Multimodal: double-pendulum swing-up — different warm starts land in
+    # different local optima; multistart must return the lowest cost.
+    sys_ = it.make_double_pendulum(
+        0.01, [jnp.pi, 0.0, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
+        R=jnp.diag(jnp.array([0.1, 0.1])),
+        Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
+    )
+    x0 = jnp.zeros(4)
+    N, S = 300, 4
+    key = jax.random.PRNGKey(0)
+    U_inits = jnp.concatenate([
+        jnp.zeros((1, N, 2)),
+        0.5 * jax.random.normal(key, (S - 1, N, 2)),
+    ])
+    cfg = it.IlqrConfig(maxiter=60, tol=1e-6)
+    best, sols = solve_multistart(sys_, x0, U_inits, cfg)
+    assert sols.cost.shape == (S,)
+    assert float(best.cost) == float(jnp.min(sols.cost))
+    # The best start must do at least as well as the zero start.
+    assert float(best.cost) <= float(sols.cost[0]) + 1e-6
+
+
+def test_solve_multistart_sharded_matches_unsharded():
+    from ilqr_tpu.parallel.batch import solve_multistart
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], jnp.eye(2), jnp.eye(1),
+                            jnp.zeros((2, 2)), d=0.0, integrator="rk4")
+    x0 = jnp.array([1.0, 0.0])
+    U_inits = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, 100, 1))
+    cfg = it.IlqrConfig(maxiter=40, tol=1e-6)
+    best_u, _ = solve_multistart(sys_, x0, U_inits, cfg)
+    mesh = make_mesh({"batch": 4}, devices=jax.devices()[:4])
+    best_s, _ = solve_multistart(sys_, x0, U_inits, cfg, mesh=mesh)
+    np.testing.assert_allclose(float(best_s.cost), float(best_u.cost),
+                               rtol=1e-6)
