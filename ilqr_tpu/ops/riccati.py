@@ -60,10 +60,13 @@ def backward_pass(
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u
         if h is not None:
+            # V_x·f_·· by broadcasting, not dot_general — tiny contraction
+            # dims hit a slow scalar path on TPU (see ops/smallmat.py).
             f_xx, f_ux, f_uu = h
-            Q_xx = Q_xx + jnp.tensordot(V_x, f_xx, axes=1)
-            Q_ux = Q_ux + jnp.tensordot(V_x, f_ux, axes=1)
-            Q_uu = Q_uu + jnp.tensordot(V_x, f_uu, axes=1)
+            vx = V_x[:, None, None]
+            Q_xx = Q_xx + jnp.sum(vx * f_xx, axis=0)
+            Q_ux = Q_ux + jnp.sum(vx * f_ux, axis=0)
+            Q_uu = Q_uu + jnp.sum(vx * f_uu, axis=0)
 
         Q_uu_reg = Q_uu + reg * eye_u
         # Gains (`iLQR_class.py:109-110`); one factorization for both solves.
@@ -124,10 +127,13 @@ def backward_pass_limited(
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u
         if h is not None:
+            # V_x·f_·· by broadcasting, not dot_general — tiny contraction
+            # dims hit a slow scalar path on TPU (see ops/smallmat.py).
             f_xx, f_ux, f_uu = h
-            Q_xx = Q_xx + jnp.tensordot(V_x, f_xx, axes=1)
-            Q_ux = Q_ux + jnp.tensordot(V_x, f_ux, axes=1)
-            Q_uu = Q_uu + jnp.tensordot(V_x, f_uu, axes=1)
+            vx = V_x[:, None, None]
+            Q_xx = Q_xx + jnp.sum(vx * f_xx, axis=0)
+            Q_ux = Q_ux + jnp.sum(vx * f_ux, axis=0)
+            Q_uu = Q_uu + jnp.sum(vx * f_uu, axis=0)
 
         Q_uu_reg = Q_uu + reg * eye_u
         u_ff, free, K = boxqp_with_gains(
