@@ -106,6 +106,17 @@ def main():
     log(metric="linesearch_sequential_ms", value=t_ls_seq * 1e3, N=N_ls)
     log(metric="linesearch_defect_pallas_ms", value=t_ls_def * 1e3, N=N_ls)
 
+    # --- Secondary: parallel-in-time INITIAL rollout vs sequential chain. ---
+    from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+    ro_seq = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u)[1])
+    ro_def = jax.jit(lambda u: open_loop_defect_rollout(
+        sys_, jnp.zeros(4), u, iters=8)[1])
+    t_ro_seq = timeit(ro_seq, U_ls, reps=5)
+    t_ro_def = timeit(ro_def, U_ls, reps=5)
+    log(metric="initial_rollout_sequential_ms", value=t_ro_seq * 1e3, N=N_ls)
+    log(metric="initial_rollout_defect_ms", value=t_ro_def * 1e3, N=N_ls)
+
     # --- Secondary: batched solves/s (BASELINE config 4 throughput). ---
     B, N_b = 1024, 128
     x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))

@@ -95,6 +95,56 @@ def defect_rollout(
 
 
 @f32_matmuls
+def open_loop_defect_rollout(
+    system: System,
+    x0: jnp.ndarray,
+    U: jnp.ndarray,
+    X_guess: jnp.ndarray | None = None,
+    iters: int = 8,
+    engine: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Open-loop rollout by parallel-in-time Newton sweeps.
+
+    The *initial* rollout of a solve has no surrounding linearization to
+    borrow, so each sweep re-linearizes along the current iterate
+    (A_k = ∂f/∂x at (x_k, u_k), vmapped — embarrassingly parallel) and solves
+    the correction recurrence δ_{k+1} = A_k δ_k + d_k with the O(log N)
+    affine prefix scan: a full Newton method on the sequence-space rollout
+    residual (quadratic contraction near the solution; may diverge from a
+    poor guess on unstable dynamics — check the returned defect and fall back
+    to the sequential `ops.rollout.rollout`).
+
+    X_guess defaults to the constant trajectory at x0.  Returns
+    (X: (N+1, n_x), cost, max_defect).
+    """
+    from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
+
+    N = U.shape[0]
+    if X_guess is None:
+        X0 = jnp.broadcast_to(x0, (N + 1,) + x0.shape)
+    else:
+        X0 = X_guess
+
+    f = lambda x, u: step(system, x, u)
+
+    def sweep(_, X):
+        F, A = jax.vmap(lambda x, u: (f(x, u), jax.jacfwd(f, argnums=0)(x, u))
+                        )(X[:-1], U)
+        d = F - X[1:]
+        deltas = affine_prefix_scan_multi(
+            A, d[None], (x0 - X[0])[None], engine=engine)[0]
+        return X + deltas
+
+    X = jax.lax.fori_loop(0, iters, sweep, X0)
+    F = jax.vmap(f)(X[:-1], U)
+    defect = jnp.max(jnp.abs(F - X[1:]))
+    cost = jnp.sum(
+        jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(X[:-1], U)
+    ) + system.terminal_cost(system.params, X[-1])
+    return X, cost, defect
+
+
+@f32_matmuls
 def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
                                iters: int = 6, engine: str = "auto"):
     """All α candidates via defect-correction sweeps with a SHARED scan.

@@ -69,6 +69,12 @@ class IlqrConfig:
     # candidate is rejected as unconverged.
     defect_iters: int = 8
     defect_tol: float = 1e-3
+    # Initial open-loop rollout engine: 'scan' (sequential, exact) or
+    # 'defect' (parallel-in-time Newton sweeps, ops/parallel_rollout.py;
+    # O(log N) depth instead of the O(N) chain that dominates long-horizon
+    # solve latency).  'defect' self-certifies: if the final defect exceeds
+    # defect_tol the solver falls back to the sequential rollout (lax.cond).
+    init_rollout: str = "scan"
     # Scan backend for the defect sweeps' shared affine prefix scan:
     # 'auto' = fused Pallas kernel on TPU (n_x ≤ 8), XLA otherwise.
     defect_engine: str = "auto"
@@ -93,6 +99,10 @@ class IlqrConfig:
         if self.rollout not in ("scan", "pallas", "defect"):
             raise ValueError(
                 f"rollout must be 'scan'|'pallas'|'defect', got {self.rollout!r}"
+            )
+        if self.init_rollout not in ("scan", "defect"):
+            raise ValueError(
+                f"init_rollout must be 'scan'|'defect', got {self.init_rollout!r}"
             )
         if self.defect_engine not in ("auto", "pallas", "xla"):
             raise ValueError(
@@ -212,7 +222,19 @@ def solve(
     if limits is not None:
         # Feasible initial guess: the initial rollout applies U_init verbatim.
         U_init = jnp.clip(U_init, limits[0], limits[1])
-    X0, cost0 = rollout(system, x0, U_init)
+    if config.init_rollout == "defect":
+        from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+        X_p, cost_p, defect = open_loop_defect_rollout(
+            system, x0, U_init,
+            iters=config.defect_iters, engine=config.defect_engine)
+        X0, cost0 = jax.lax.cond(
+            defect < config.defect_tol,
+            lambda: (X_p, cost_p),
+            lambda: rollout(system, x0, U_init),
+        )
+    else:
+        X0, cost0 = rollout(system, x0, U_init)
     nan = jnp.full((config.maxiter,), jnp.nan, dtype=cost0.dtype)
 
     init = dict(

@@ -132,3 +132,35 @@ def test_solver_defect_mode_fallback_when_uncertified():
     c = jax.jit(lambda x: it.solve(sys_, x, U0, cfg_h))(x0)
     assert int(c.status) == it.CONVERGED
     np.testing.assert_allclose(float(c.cost), float(a.cost), rtol=1e-4)
+
+
+def test_open_loop_defect_rollout_matches_sequential():
+    from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], jnp.eye(2), jnp.eye(1),
+                            jnp.zeros((2, 2)), d=0.2, integrator="rk4")
+    x0 = jnp.array([1.0, 0.0])
+    U = 0.3 * jnp.sin(jnp.linspace(0, 12.0, 500))[:, None]
+    X_ref, c_ref = it.rollout(sys_, x0, U)
+    X, c, defect = jax.jit(lambda u: open_loop_defect_rollout(
+        sys_, x0, u, iters=12))(U)
+    assert float(defect) < 1e-4
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref), atol=1e-3)
+    np.testing.assert_allclose(float(c), float(c_ref), rtol=1e-4)
+
+
+def test_solver_init_rollout_defect_matches_scan():
+    sys_, x0, _, U0, _, _, _ = _linesearch_setting()
+    cfg_s = it.IlqrConfig(maxiter=60, tol=1e-6)
+    cfg_d = it.IlqrConfig(maxiter=60, tol=1e-6, init_rollout="defect",
+                          defect_iters=12)
+    a = it.solve(sys_, x0, U0, cfg_s)
+    b = jax.jit(lambda x: it.solve(sys_, x, U0, cfg_d))(x0)
+    np.testing.assert_allclose(float(b.cost), float(a.cost), rtol=1e-4)
+
+    # Certificate fallback: with iters=0 the Newton sweeps cannot converge,
+    # so the solver must take the sequential branch and still agree.
+    cfg_f = it.IlqrConfig(maxiter=60, tol=1e-6, init_rollout="defect",
+                          defect_iters=1, defect_tol=1e-12)
+    c = jax.jit(lambda x: it.solve(sys_, x, U0, cfg_f))(x0)
+    np.testing.assert_allclose(np.asarray(c.U), np.asarray(a.U), atol=1e-6)
