@@ -51,8 +51,19 @@ def main(N: int = 100_000):
           f"pallas-backward={t_bp * 1e3:.1f}ms "
           f"({N / t_bp / 1e6:.2f}M timesteps/s)")
 
+    # Parallel-in-time initial rollout (Newton sweeps + affine prefix scan).
+    from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+    roll_p = jax.jit(lambda U: open_loop_defect_rollout(sys_, x0, U, iters=8))
+    _, _, defect = warmup(roll_p, U0)
+    t_roll_p, _ = timed(roll_p, U0, reps=3)
+    print(f"initial rollout: sequential={t_roll * 1e3:.1f}ms "
+          f"defect-parallel={t_roll_p * 1e3:.1f}ms "
+          f"(certified defect {float(defect):.1e})")
+
     # A few full iLQR iterations end-to-end.
-    cfg = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto", adaptive_reg=True)
+    cfg = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto",
+                        adaptive_reg=True, init_rollout="defect")
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     warmup(solve, x0, U0)
     t_solve, sol = timed(solve, x0, U0, reps=1)

@@ -252,10 +252,20 @@ def solve_horizon_sharded(
         raise ValueError(f"horizon N={N} not divisible by {D} shards")
     alphas = tuple(config.alpha_schedule())
 
-    # Initial open-loop rollout (one-time, global).
+    # Initial open-loop rollout (one-time, global): parallel-in-time Newton
+    # sweeps with a certificate fallback to the sequential chain — at pod
+    # scale the O(N) sequential rollout would otherwise dominate startup.
+    from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
     from ilqr_tpu.ops.rollout import rollout as _rollout
 
-    X0_full, cost0 = _rollout(system, x0, U_init)
+    X_p, c_p, defect0 = open_loop_defect_rollout(
+        system, x0, U_init,
+        iters=config.defect_iters, engine=config.defect_engine)
+    X0_full, cost0 = jax.lax.cond(
+        defect0 < config.defect_tol,
+        lambda: (X_p, c_p),
+        lambda: _rollout(system, x0, U_init),
+    )
     X0 = X0_full[:-1]
     xN0 = X0_full[-1]
 
