@@ -71,6 +71,64 @@ def run_mpc(
 
 
 @f32_matmuls
+def run_mpc_rti(
+    solver_system: System,
+    plant_system: System,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+    resolve_every: int = 1,
+) -> MpcResult:
+    """Real-time-iteration MPC: re-solve every ``resolve_every`` steps and
+    track the current plan with its own time-varying gains in between
+    (``u = u_plan + K (x − x_plan)``) — the standard trick for meeting
+    control rates faster than the solver.
+
+    No reference counterpart (the reference re-solves at every step,
+    `run_iLQR_MPC.py:116-140`); ``resolve_every=1`` reduces to `run_mpc`'s
+    behavior with feedback applied from the same solve.  ``n_sim`` must be
+    divisible by ``resolve_every``.
+    """
+    if n_sim % resolve_every != 0:
+        raise ValueError(
+            f"n_sim={n_sim} not divisible by resolve_every={resolve_every}")
+    n_outer = n_sim // resolve_every
+    limits = config.limit_arrays(U_init.shape[-1], U_init.dtype)
+
+    def outer(carry, _):
+        x, U_warm = carry
+        sol = solve(solver_system, x, U_warm, config)
+
+        def inner(x, j):
+            u = sol.U[j] + matvec_(sol.K[j], x - sol.X[j])
+            if limits is not None:
+                u = jnp.clip(u, limits[0], limits[1])
+            c = plant_system.stage_cost(plant_system.params, x, u)
+            x1 = step(plant_system, x, u)
+            return x1, (x, u, c)
+
+        x_end, (Xs, Us, cs) = jax.lax.scan(
+            inner, x, jnp.arange(resolve_every))
+        # Shift-and-hold warm start by the executed block length.
+        U_next = jnp.concatenate(
+            [sol.U[resolve_every:],
+             jnp.broadcast_to(sol.U[-1], (resolve_every,) + sol.U[-1].shape)],
+            axis=0)
+        return (x_end, U_next), (Xs, Us, cs, sol.iterations, sol.status)
+
+    matvec_ = lambda M, v: M @ v
+    (x_N, _), (Xs, Us, cs, iters, status) = jax.lax.scan(
+        outer, (x0, U_init), None, length=n_outer)
+    X_head = Xs.reshape((-1,) + Xs.shape[2:])
+    U = Us.reshape((-1,) + Us.shape[2:])
+    cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return MpcResult(X=X, U=U, cost=cost, solve_iters=iters,
+                     solve_status=status)
+
+
+@f32_matmuls
 def run_mpc_batched(
     solver_system: System,
     plant_system: System,

@@ -62,3 +62,43 @@ def test_mpc_batched_matches_single():
     np.testing.assert_allclose(
         np.asarray(res_b.X[1]), np.asarray(res_1.X), atol=1e-4
     )
+
+
+def test_mpc_rti_swingup_and_reduces_solves():
+    from ilqr_tpu.mpc import run_mpc_rti
+
+    solver_sys, plant_sys = _pendulum_pair()
+    N_h = 200
+    cfg = it.IlqrConfig(maxiter=10, tol=1e-5)
+    res5 = jax.jit(lambda x: run_mpc_rti(
+        solver_sys, plant_sys, x, jnp.zeros((N_h, 1)), n_sim=400,
+        config=cfg, resolve_every=5))(jnp.zeros(2))
+    xN = np.asarray(res5.X[-1])
+    assert abs(xN[0] - np.pi) < 0.05, f"did not swing up: {xN}"
+    assert abs(xN[1]) < 0.1
+    # 5x fewer solves: per-solve diagnostics have length n_sim/5.
+    assert res5.solve_iters.shape == (80,)
+    assert res5.U.shape == (400, 1)
+
+    # resolve_every=1 stays close to the plain MPC loop's closed-loop cost
+    # (not identical: RTI applies feedback from the same solve, run_mpc
+    # applies the first planned control directly).
+    res1 = run_mpc_rti(solver_sys, plant_sys, jnp.zeros(2),
+                       jnp.zeros((N_h, 1)), 400, cfg, resolve_every=1)
+    base = run_mpc(solver_sys, plant_sys, jnp.zeros(2),
+                   jnp.zeros((N_h, 1)), 400, cfg)
+    np.testing.assert_allclose(float(res1.cost), float(base.cost), rtol=2e-2)
+    # Infrequent re-solving costs a little closed-loop performance, not much.
+    assert float(res5.cost) < 2.0 * float(base.cost)
+
+
+def test_mpc_rti_validates_divisibility():
+    from ilqr_tpu.mpc import run_mpc_rti
+
+    solver_sys, plant_sys = _pendulum_pair()
+    try:
+        run_mpc_rti(solver_sys, plant_sys, jnp.zeros(2), jnp.zeros((50, 1)),
+                    n_sim=401, resolve_every=5)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "divisible" in str(e)
