@@ -48,24 +48,41 @@ def main():
         d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
     )
 
-    # --- Headline: backward-pass timesteps/s/chip on a long horizon. ---
-    N = 4096
-    U = 0.1 * jnp.sin(jnp.linspace(0, 20.0, N))[:, None] * jnp.ones((1, 2))
-    X, _ = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u))(U)
-    exp = jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X, U)
-    exp = jax.block_until_ready(exp)
+    # --- Headline: backward-pass timesteps/s/chip (fused Pallas kernel:
+    # element build + suffix scan + closure + gains in ONE kernel), long
+    # horizon (BASELINE.json config 5 is the 100k-step stretch).  The
+    # reference's jitted sequential backward pass is N-independent per step
+    # on CPU (61-75k t/s measured at N=500/4096/32768 — BASELINE.md). ---
+    from ilqr_tpu.ops.pallas_riccati import (
+        backward_pass_pallas,
+        backward_pass_pallas_fused,
+    )
 
-    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
+    def expansion(N):
+        U = 0.1 * jnp.sin(jnp.linspace(0, 20.0, N))[:, None] * jnp.ones((1, 2))
+        X, _ = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u))(U)
+        exp = jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X, U)
+        return jax.block_until_ready(exp)
 
+    bp_fused = jax.jit(lambda e: backward_pass_pallas_fused(e, 0.0))
     bp_pallas = jax.jit(lambda e: backward_pass_pallas(e, 0.0))
     bp_pscan = jax.jit(lambda e: backward_pass_associative(e, 0.0))
     bp_scan = jax.jit(lambda e: backward_pass(e, 0.0))
 
+    N_head = 131072
+    exp_head = expansion(N_head)
+    t_head = timeit(bp_fused, exp_head)
+    tps = N_head / t_head
+    log(metric="backward_pass_fused_ms", value=t_head * 1e3, N=N_head)
+
+    # Secondaries at the medium horizon: all four backends.
+    N = 4096
+    exp = expansion(N)
+    t_fused = timeit(bp_fused, exp)
     t_pallas = timeit(bp_pallas, exp)
     t_pscan = timeit(bp_pscan, exp)
     t_scan = timeit(bp_scan, exp)
-    best = min(t_pallas, t_pscan, t_scan)
-    tps = N / best
+    log(metric="backward_pass_fused_ms", value=t_fused * 1e3, N=N)
     log(metric="backward_pass_pallas_ms", value=t_pallas * 1e3, N=N)
     log(metric="backward_pass_pscan_ms", value=t_pscan * 1e3, N=N)
     log(metric="backward_pass_scan_ms", value=t_scan * 1e3, N=N)

@@ -259,6 +259,217 @@ def _suffix_kernel(n_x: int, n_sweeps: int, in_ref, out_ref, scratch_ref):
 # lanes), leaving room for the grid pipeline's double buffering.
 MAX_BLOCK_LANES = 2048
 
+# ---------------------------------------------------------------------------
+# Sublane-packed variant: time on BOTH sublanes and lanes.
+#
+# The (1, N) field rows of the layout above occupy one of the VPU's 8
+# sublanes — 7/8 of every vector instruction is wasted.  Here each field is
+# an (8, L) tile with timestep t = s·L + l (sublane-major chunks), so every
+# combine op runs dense.  Recursive-doubling partners at t+d become:
+#   d < L       : lane left-roll by d, with a sublane+1 carry for the lanes
+#                 that wrap (select by lane index);
+#   d = m·L     : pure sublane left-roll by m   (m = 1, 2, 4).
+# Out-of-block partners are neutralized by the same identity-padding +
+# validity-mask trick as the lane-major kernel.
+# ---------------------------------------------------------------------------
+
+# Lane width of one sublane-packed block: a block covers 8·L steps.  F=56 →
+# 1.8 MB per working-set copy at L=1024; 3 copies + pipeline buffers fit the
+# 16 MB VMEM budget.
+MAX_SUB_LANES = 1024
+
+
+def _blk_index_row(n_blocks: int, l_blk: int, dtype) -> jnp.ndarray:
+    """(1, 8, n_blocks·l_blk) row holding each lane's block index.
+
+    The kernels read their grid position from this data row rather than
+    `pl.program_id`: under vmap the batch axis is prepended to the grid,
+    which would silently shift what program_id(0) means, while a data row
+    is batched along with the rest of the operand.
+    """
+    row = jnp.repeat(jnp.arange(n_blocks, dtype=dtype), l_blk)
+    return jnp.broadcast_to(row, (1, 8, n_blocks * l_blk))
+
+
+def pack_elements_sub(elems: RiccatiElement, n_blocks: int, l_blk: int) -> jnp.ndarray:
+    """(F+1, 8, n_blocks·l_blk), block-contiguous: block i holds steps
+    [i·8·l_blk, (i+1)·8·l_blk) at lanes [i·l_blk, (i+1)·l_blk), laid out
+    t_local = s·l_blk + l.  The extra trailing row is the block index."""
+    F_rows = pack_elements(elems, n_blocks * 8 * l_blk)  # (F, n_pad) flat
+    F = F_rows.shape[0]
+    packed = (
+        F_rows.reshape(F, n_blocks, 8, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(F, 8, n_blocks * l_blk)
+    )
+    return jnp.concatenate(
+        [packed, _blk_index_row(n_blocks, l_blk, packed.dtype)], axis=0
+    )
+
+
+def unpack_elements_sub(
+    packed: jnp.ndarray, M: int, n_x: int, n_blocks: int, l_blk: int
+) -> RiccatiElement:
+    F = packed.shape[0]
+    flat = (
+        packed.reshape(F, 8, n_blocks, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(F, n_blocks * 8 * l_blk)
+    )
+    return unpack_elements(flat, M, n_x)
+
+
+def _suffix_kernel_sub(n_x: int, l_blk: int, n_blocks: int, in_ref,
+                       out_ref, scratch_ref, bound_ref):
+    """Local recursive-doubling suffix scan over one (F, 8, l_blk) block, then
+    closure against the running boundary element carried in SMEM.
+
+    The grid walks blocks RIGHT-TO-LEFT (reversed index map) and TPU grids
+    execute sequentially, so `bound_ref` holds the combined suffix of every
+    block to the right when this block runs — no separate XLA closure pass.
+    The grid position is read from the block-index data row of `in_ref`, NOT
+    from `pl.program_id` — vmap prepends a batch grid axis, which would shift
+    the axis program_id refers to (and the step==0 init below re-seeds the
+    carry at the start of every batch element, so the SMEM scratch never
+    leaks across the batch).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = 8 * l_blk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 0)
+    t_idx = sub * l_blk + lane
+    F = in_ref.shape[0] - 1  # trailing row = block index
+    nn = n_x * n_x
+    step = (n_blocks - 1) - in_ref[F, 0, 0].astype(jnp.int32)  # reversed position
+
+    # Rightmost block: boundary = identity element (A = I, rest 0).
+    @pl.when(step == 0)
+    def _init_boundary():
+        for f in range(F):
+            diag = f < nn and (f // n_x) == (f % n_x)
+            bound_ref[f, 0] = jnp.float32(1.0) if diag else jnp.float32(0.0)
+
+    out_ref[:] = in_ref[0:F, :, :]
+
+    def _fields(row_fn):
+        nn = n_x * n_x
+        A = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+        b = [row_fn(nn + i) for i in range(n_x)]
+        C = [[row_fn(nn + n_x + i * n_x + j) for j in range(n_x)]
+             for i in range(n_x)]
+        eta = [row_fn(2 * nn + n_x + i) for i in range(n_x)]
+        J = [[row_fn(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
+             for i in range(n_x)]
+        return A, b, C, eta, J
+
+    def _apply(d, partner_row):
+        Ei = _fields(lambda i: out_ref[i, :, :])
+        Ej = _fields(partner_row)
+        A, b, C, eta, J = _combine_rows(Ei, Ej, n_x)
+        flat: List = []
+        for r in A:
+            flat.extend(r)
+        flat.extend(b)
+        for r in C:
+            flat.extend(r)
+        flat.extend(eta)
+        for r in J:
+            flat.extend(r)
+        valid = t_idx < (S - d)
+        # Masked row-by-row writes into scratch (out rows are still read by
+        # later `flat` entries, so the update must not alias), then copy back.
+        for idx, new_row in enumerate(flat):
+            scratch_ref[idx, :, :] = jnp.where(valid, new_row, out_ref[idx, :, :])
+        out_ref[:] = scratch_ref[:]
+
+    def lane_sweep(s, carry):
+        d = 1 << s
+
+        def partner(i):
+            r = out_ref[i, :, :]
+            rl = pltpu.roll(r, shift=l_blk - d, axis=1)   # lane left-roll by d
+            rw = pltpu.roll(rl, shift=7, axis=0)          # sublane +1 carry
+            return jnp.where(lane < l_blk - d, rl, rw)
+
+        _apply(d, partner)
+        return carry
+
+    def sub_sweep(s, carry):
+        m = 1 << s
+
+        def partner(i):
+            return pltpu.roll(out_ref[i, :, :], shift=8 - m, axis=0)
+
+        _apply(m * l_blk, partner)
+        return carry
+
+    n_lane_sweeps = (l_blk - 1).bit_length()  # d = 1 .. l_blk/2
+    jax.lax.fori_loop(0, n_lane_sweeps, lane_sweep, 0)
+    jax.lax.fori_loop(0, 3, sub_sweep, 0)     # d = l_blk, 2·l_blk, 4·l_blk
+
+    # --- Closure: combine every element with the carried boundary. ---
+    # The rightmost block (grid step 0) has an identity boundary — skip.
+    @pl.when(step > 0)
+    def _apply_boundary():
+        Ei = _fields(lambda i: out_ref[i, :, :])
+        Ej = _fields(lambda i: bound_ref[i, 0])  # scalars, broadcast
+        A, b, C, eta, J = _combine_rows(Ei, Ej, n_x)
+        flat: List = []
+        for r in A:
+            flat.extend(r)
+        flat.extend(b)
+        for r in C:
+            flat.extend(r)
+        flat.extend(eta)
+        for r in J:
+            flat.extend(r)
+        for idx, new_row in enumerate(flat):
+            scratch_ref[idx, :, :] = new_row
+        out_ref[:] = scratch_ref[:]
+
+    # New boundary = closed element at local t = 0 (covers this block .. end);
+    # not needed after the leftmost block (the final grid step).
+    @pl.when(step < n_blocks - 1)
+    def _update_boundary():
+        for f in range(F):
+            bound_ref[f, 0] = out_ref[f, 0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "l_blk", "interpret"))
+def _suffix_scan_packed_sub(
+    packed: jnp.ndarray, n_x: int, l_blk: int, interpret: bool = False
+):
+    """Blocked local suffix scans over the sublane-packed (F, 8, n_pad) array."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F1, _, n_lanes = packed.shape  # F data rows + 1 block-index row
+    F = F1 - 1
+    n_blocks = n_lanes // l_blk
+    n_sweeps = (8 * l_blk - 1).bit_length()
+    kernel = functools.partial(_suffix_kernel_sub, n_x, l_blk, n_blocks)
+    flops_per_combine = 40 * n_x**3
+    rev = lambda i: (0, 0, n_blocks - 1 - i)  # right-to-left for the closure carry
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((F, 8, n_lanes), packed.dtype),
+        in_specs=[pl.BlockSpec((F1, 8, l_blk), rev, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((F, 8, l_blk), rev, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((F, 8, l_blk), packed.dtype),
+            pltpu.SMEM((F, 1), packed.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(n_sweeps + 1) * 8 * n_lanes * flops_per_combine,
+            bytes_accessed=2 * F * 8 * n_lanes * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(packed)
+
 
 @functools.partial(jax.jit, static_argnames=("n_x", "interpret"))
 def _suffix_scan_packed(packed: jnp.ndarray, n_x: int, interpret: bool = False):
@@ -296,29 +507,14 @@ def _suffix_scan_packed(packed: jnp.ndarray, n_x: int, interpret: bool = False):
     )(packed)
 
 
-def suffix_scan_pallas(elems: RiccatiElement, interpret: bool = False) -> RiccatiElement:
-    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 4)."""
+def _close_blocks(local: RiccatiElement, M: int, n_x: int, blk: int,
+                  n_blocks: int) -> RiccatiElement:
+    """Cross-block closure (mirrors ilqr_tpu.parallel.horizon): local[k]
+    covers k .. end-of-its-block (blocks of `blk` steps); close against the
+    combined suffix of all blocks to the right."""
     from ilqr_tpu.ops.parallel_riccati import combine, suffix_scan
 
-    M = elems.A.shape[0]
-    n_x = elems.A.shape[-1]
-    if n_x > 4:
-        return suffix_scan(elems)
-    n_pad = max(-(-M // LANES) * LANES, LANES)
-    if n_pad > MAX_BLOCK_LANES:
-        # Blocked path: the lane axis must tile evenly into kernel blocks.
-        n_pad = -(-n_pad // MAX_BLOCK_LANES) * MAX_BLOCK_LANES
-    packed = pack_elements(elems, n_pad)
-    out = _suffix_scan_packed(packed, n_x=n_x, interpret=interpret)
-    local = unpack_elements(out, M, n_x)
-    if n_pad <= MAX_BLOCK_LANES:
-        return local
-
-    # --- Cross-block closure (mirrors ilqr_tpu.parallel.horizon): ---
-    # local[k] covers k .. end-of-block; close against the combined suffix of
-    # all blocks to the right.
-    blk = MAX_BLOCK_LANES
-    n_blocks = n_pad // blk
+    elems = local
     starts = jnp.arange(n_blocks) * blk
     totals = jax.tree_util.tree_map(
         lambda a: a[jnp.minimum(starts, M - 1)], local
@@ -354,15 +550,396 @@ def suffix_scan_pallas(elems: RiccatiElement, interpret: bool = False) -> Riccat
     return combine(local, bcast)
 
 
+def suffix_scan_pallas(
+    elems: RiccatiElement, interpret: bool = False, layout: str = "sub"
+) -> RiccatiElement:
+    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 4).
+
+    layout='sub' (default): sublane-packed kernel, fully dense VPU tiles.
+    layout='lane': original (1, N)-row kernel.
+    """
+    from ilqr_tpu.ops.parallel_riccati import suffix_scan
+
+    M = elems.A.shape[0]
+    n_x = elems.A.shape[-1]
+    if n_x > 4:
+        return suffix_scan(elems)
+
+    if layout == "sub":
+        steps_min = 8 * LANES
+        n_steps = max(-(-M // steps_min) * steps_min, steps_min)
+        l_blk = min(n_steps // 8, MAX_SUB_LANES)
+        blk_steps = 8 * l_blk
+        n_steps = -(-n_steps // blk_steps) * blk_steps
+        n_blocks = n_steps // blk_steps
+        packed = pack_elements_sub(elems, n_blocks, l_blk)
+        out = _suffix_scan_packed_sub(packed, n_x=n_x, l_blk=l_blk,
+                                      interpret=interpret)
+        # Cross-block closure happens inside the kernel (SMEM boundary carry).
+        return unpack_elements_sub(out, M, n_x, n_blocks, l_blk)
+
+    n_pad = max(-(-M // LANES) * LANES, LANES)
+    if n_pad > MAX_BLOCK_LANES:
+        # Blocked path: the lane axis must tile evenly into kernel blocks.
+        n_pad = -(-n_pad // MAX_BLOCK_LANES) * MAX_BLOCK_LANES
+    packed = pack_elements(elems, n_pad)
+    out = _suffix_scan_packed(packed, n_x=n_x, interpret=interpret)
+    local = unpack_elements(out, M, n_x)
+    if n_pad <= MAX_BLOCK_LANES:
+        return local
+    return _close_blocks(local, M, n_x, MAX_BLOCK_LANES, n_pad // MAX_BLOCK_LANES)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused backward pass: ONE kernel from packed trajectory expansion to
+# packed gains.  Per block (right-to-left grid):
+#   1. build the Riccati elements from the raw expansion rows (dense VPU),
+#      with terminal/identity masking by global step index;
+#   2. local recursive-doubling suffix scan (as _suffix_kernel_sub);
+#   3. closure against the SMEM boundary carry;
+#   4. V(k+1) by a d=1 partner shift (block-boundary lane fed by the carry);
+#   5. Q-expansion + 2×2 gain solve → u_ff, K, per-step dV terms.
+# Eliminates the XLA make_elements / pack / unpack / gains stages that
+# dominated the unfused pipeline (measured: they were ~70% of wall-clock).
+# ---------------------------------------------------------------------------
+
+
+def _exp_field_count(n_x: int, n_u: int) -> int:
+    return 2 * n_x * n_x + n_x * n_u + n_x + n_u + n_u * n_x + n_u * n_u
+
+
+def _exp_rows(row_fn, n_x: int, n_u: int):
+    """Row-symbolic views of the packed expansion fields, layout must match
+    pack_expansion_sub."""
+    o = 0
+    f_x = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+    o += n_x * n_x
+    f_u = [[row_fn(o + i * n_u + j) for j in range(n_u)] for i in range(n_x)]
+    o += n_x * n_u
+    l_x = [row_fn(o + i) for i in range(n_x)]
+    o += n_x
+    l_u = [row_fn(o + i) for i in range(n_u)]
+    o += n_u
+    l_xx = [[row_fn(o + i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+    o += n_x * n_x
+    l_ux = [[row_fn(o + i * n_x + j) for j in range(n_x)] for i in range(n_u)]
+    o += n_u * n_x
+    l_uu = [[row_fn(o + i * n_u + j) for j in range(n_u)] for i in range(n_u)]
+    return f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu
+
+
+def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int):
+    """(Fe, 8, n_blocks·l_blk) packed expansion; column N carries the terminal
+    (v_x in the l_x rows, v_xx in the l_xx rows), padding columns are zero."""
+    N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
+    n_u = exp.l_u.shape[-1]
+    n_pad = n_blocks * 8 * l_blk
+
+    def rows_of(a, width):
+        return a.reshape(N, width).T
+
+    term_cols = [
+        jnp.zeros((n_x * n_x,)), jnp.zeros((n_x * n_u,)),
+        exp.v_x, jnp.zeros((n_u,)),
+        exp.v_xx.reshape(-1), jnp.zeros((n_u * n_x,)), jnp.zeros((n_u * n_u,)),
+    ]
+    stage_rows = [
+        rows_of(exp.f_x, n_x * n_x), rows_of(exp.f_u, n_x * n_u),
+        exp.l_x.T, exp.l_u.T,
+        rows_of(exp.l_xx, n_x * n_x), rows_of(exp.l_ux, n_u * n_x),
+        rows_of(exp.l_uu, n_u * n_u),
+    ]
+    rows = jnp.concatenate(
+        [jnp.concatenate([s, t[:, None].astype(s.dtype)], axis=1)
+         for s, t in zip(stage_rows, term_cols)], axis=0
+    )  # (Fe, N+1)
+    Fe = rows.shape[0]
+    out = jnp.zeros((Fe, n_pad), dtype=rows.dtype).at[:, : N + 1].set(rows)
+    packed = (
+        out.reshape(Fe, n_blocks, 8, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(Fe, 8, n_blocks * l_blk)
+    )
+    return jnp.concatenate(
+        [packed, _blk_index_row(n_blocks, l_blk, packed.dtype)], axis=0
+    )
+
+
+def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
+                  reg_ref, in_ref, out_ref, elem_ref, scratch_ref,
+                  bound_ref):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = 8 * l_blk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 0)
+    t_loc = sub * l_blk + lane
+    F = _num_fields(n_x)
+    nn = n_x * n_x
+    reg = reg_ref[0, 0]
+    # Grid position from the block-index data row, not pl.program_id — stays
+    # correct under vmap (the batch axis is prepended to the grid), and the
+    # step==0 init below re-seeds the carry per batch element.
+    Fe_last = in_ref.shape[0] - 1
+    step = (n_blocks - 1) - in_ref[Fe_last, 0, 0].astype(jnp.int32)
+
+    # Rightmost block first: boundary = identity element.
+    @pl.when(step == 0)
+    def _init_boundary():
+        for f in range(F):
+            diag = f < nn and (f // n_x) == (f % n_x)
+            bound_ref[f, 0] = jnp.float32(1.0) if diag else jnp.float32(0.0)
+
+    blk = n_blocks - 1 - step
+    t_glob = t_loc + blk * S
+    is_leaf = t_glob < M - 1
+    is_term = t_glob == M - 1
+
+    # --- 1. Elements from the expansion (dense; masked per position). ---
+    f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = _exp_rows(
+        lambda i: in_ref[i, :, :], n_x, n_u)
+    R = [[l_uu[i][j] + (reg if i == j else 0.0) for j in range(n_u)]
+         for i in range(n_u)]
+    Ri = _minv(R)
+    RiM = _mmul(Ri, l_ux)                     # (n_u, n_x)
+    RiBt = _mmul(Ri, _mT(f_u))                # (n_u, n_x)
+    Rir = _mvec(Ri, l_u)                      # (n_u,)
+    fuRiM = _mmul(f_u, RiM)
+    A_l = [[f_x[i][j] - fuRiM[i][j] for j in range(n_x)] for i in range(n_x)]
+    b_l = [-v for v in _mvec(f_u, Rir)]
+    C_l = _msym(_mmul(f_u, RiBt))
+    MtRiM = _mmul(_mT(l_ux), RiM)
+    J_l = _msym([[l_xx[i][j] - MtRiM[i][j] for j in range(n_x)]
+                 for i in range(n_x)])
+    Mt_Rir = _mvec(_mT(l_ux), Rir)
+    eta_l = [-(l_x[i] - Mt_Rir[i]) for i in range(n_x)]
+
+    def sel(leaf_row, term_row, ident_const):
+        base = jnp.where(is_term, term_row, ident_const) if term_row is not None \
+            else jnp.where(is_term, 0.0, ident_const)
+        return jnp.where(is_leaf, leaf_row, base)
+
+    zero = jnp.zeros((8, l_blk), dtype=jnp.float32)
+    elem_rows: List = []
+    for i in range(n_x):
+        for j in range(n_x):
+            elem_rows.append(sel(A_l[i][j], None, 1.0 if i == j else 0.0))
+    for i in range(n_x):
+        elem_rows.append(sel(b_l[i], None, 0.0))
+    for i in range(n_x):
+        for j in range(n_x):
+            elem_rows.append(sel(C_l[i][j], None, 0.0))
+    for i in range(n_x):
+        elem_rows.append(sel(eta_l[i], -l_x[i], 0.0))   # terminal η = −v_x
+    for i in range(n_x):
+        for j in range(n_x):
+            elem_rows.append(sel(J_l[i][j], l_xx[i][j], 0.0))  # terminal J = v_xx
+    for idx, r in enumerate(elem_rows):
+        elem_ref[idx, :, :] = r
+    del elem_rows
+
+    # --- 2. Local suffix sweeps (same scheme as _suffix_kernel_sub). ---
+    def _fields(row_fn):
+        A = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+        b = [row_fn(nn + i) for i in range(n_x)]
+        C = [[row_fn(nn + n_x + i * n_x + j) for j in range(n_x)]
+             for i in range(n_x)]
+        eta = [row_fn(2 * nn + n_x + i) for i in range(n_x)]
+        J = [[row_fn(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
+             for i in range(n_x)]
+        return A, b, C, eta, J
+
+    def _flatten(rows):
+        A, b, C, eta, J = rows
+        flat: List = []
+        for r in A:
+            flat.extend(r)
+        flat.extend(b)
+        for r in C:
+            flat.extend(r)
+        flat.extend(eta)
+        for r in J:
+            flat.extend(r)
+        return flat
+
+    def _apply(d, partner_row):
+        Ei = _fields(lambda i: elem_ref[i, :, :])
+        Ej = _fields(partner_row)
+        flat = _flatten(_combine_rows(Ei, Ej, n_x))
+        valid = t_loc < (S - d)
+        for idx, new_row in enumerate(flat):
+            scratch_ref[idx, :, :] = jnp.where(valid, new_row,
+                                               elem_ref[idx, :, :])
+        elem_ref[:] = scratch_ref[:]
+
+    def lane_sweep(s, carry):
+        d = 1 << s
+
+        def partner(i):
+            r = elem_ref[i, :, :]
+            rl = pltpu.roll(r, shift=l_blk - d, axis=1)
+            rw = pltpu.roll(rl, shift=7, axis=0)
+            return jnp.where(lane < l_blk - d, rl, rw)
+
+        _apply(d, partner)
+        return carry
+
+    def sub_sweep(s, carry):
+        m = 1 << s
+
+        def partner(i):
+            return pltpu.roll(elem_ref[i, :, :], shift=8 - m, axis=0)
+
+        _apply(m * l_blk, partner)
+        return carry
+
+    jax.lax.fori_loop(0, (l_blk - 1).bit_length(), lane_sweep, 0)
+    jax.lax.fori_loop(0, 3, sub_sweep, 0)
+
+    # --- 3. Closure with the carried boundary (skip on identity). ---
+    @pl.when(step > 0)
+    def _apply_boundary():
+        Ei = _fields(lambda i: elem_ref[i, :, :])
+        Ej = _fields(lambda i: bound_ref[i, 0])
+        flat = _flatten(_combine_rows(Ei, Ej, n_x))
+        for idx, new_row in enumerate(flat):
+            scratch_ref[idx, :, :] = new_row
+        elem_ref[:] = scratch_ref[:]
+
+    # --- 4. V at k+1: d=1 partner of the closed elements; the block's last
+    # position is fed by the (pre-update) boundary carry. ---
+    def vnext_row(i):
+        r = elem_ref[i, :, :]
+        rl = pltpu.roll(r, shift=l_blk - 1, axis=1)
+        rw = pltpu.roll(rl, shift=7, axis=0)
+        shifted = jnp.where(lane < l_blk - 1, rl, rw)
+        return jnp.where(t_loc < S - 1, shifted, bound_ref[i, 0])
+
+    eta_n = [vnext_row(2 * nn + n_x + i) for i in range(n_x)]
+    J_n = [[vnext_row(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
+           for i in range(n_x)]
+
+    # --- 5. Boundary carry update for the next (left) block. ---
+    @pl.when(step < n_blocks - 1)
+    def _update_boundary():
+        for f in range(F):
+            bound_ref[f, 0] = elem_ref[f, 0, 0]
+
+    # --- 6. Gains: Q-expansion at k against V(k+1) = (J_n, −eta_n). ---
+    v_x = [-e for e in eta_n]
+    fuT = _mT(f_u)                                  # (n_u, n_x)
+    fuT_Vxx = _mmul(fuT, J_n)                       # (n_u, n_x)
+    Q_u = _vadd(l_u, _mvec(fuT, v_x))               # (n_u,)
+    Q_ux = _madd(l_ux, _mmul(fuT_Vxx, f_x))         # (n_u, n_x)
+    Q_uu = _madd(l_uu, _mmul(fuT_Vxx, f_u))
+    Q_uu = _msym([[Q_uu[i][j] + (reg if i == j else 0.0) for j in range(n_u)]
+                  for i in range(n_u)])
+    Qi = _minv(Q_uu)
+    K = [[-v for v in row] for row in _mmul(Qi, Q_ux)]     # (n_u, n_x)
+    u_ff = [-v for v in _mvec(Qi, Q_u)]                    # (n_u,)
+    dV1 = sum(u_ff[i] * Q_u[i] for i in range(n_u))
+    quu_uff = _mvec(Q_uu, u_ff)
+    dV2 = 0.5 * (sum(u_ff[i] * quu_uff[i] for i in range(n_u))
+                 - reg * sum(u_ff[i] * u_ff[i] for i in range(n_u)))
+
+    # Zero the non-stage positions so the XLA-side dV reduction is a plain sum.
+    out_rows: List = []
+    for i in range(n_u):
+        out_rows.append(u_ff[i])
+    for i in range(n_u):
+        for j in range(n_x):
+            out_rows.append(K[i][j])
+    out_rows.append(dV1)
+    out_rows.append(dV2)
+    for idx, r in enumerate(out_rows):
+        out_ref[idx, :, :] = jnp.where(is_leaf, r, zero)
+
+
+@functools.partial(jax.jit, static_argnames=("n_x", "n_u", "M", "l_blk", "interpret"))
+def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
+                           l_blk: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Fe1, _, n_lanes = packed.shape  # expansion rows + 1 block-index row
+    n_blocks = n_lanes // l_blk
+    F = _num_fields(n_x)
+    Fo = n_u + n_u * n_x + 2
+    kernel = functools.partial(_fused_kernel, n_x, n_u, l_blk, M, n_blocks)
+    rev = lambda i: (0, 0, n_blocks - 1 - i)
+    n_sweeps = (8 * l_blk - 1).bit_length() + 2
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct((Fo, 8, n_lanes), packed.dtype),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Fe1, 8, l_blk), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Fo, 8, l_blk), rev, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((F, 8, l_blk), packed.dtype),
+            pltpu.VMEM((F, 8, l_blk), packed.dtype),
+            pltpu.SMEM((F, 1), packed.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n_sweeps * 8 * n_lanes * 40 * n_x**3,
+            bytes_accessed=(Fe1 + Fo) * 8 * n_lanes * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(reg.reshape(1, 1), packed)
+
+
+@f32_matmuls
+def backward_pass_pallas_fused(
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
+    interpret: bool = False,
+):
+    """Fully fused Pallas backward pass; same contract as
+    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 4, n_u ≤ 4)."""
+    from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
+
+    N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
+    n_u = exp.l_u.shape[-1]
+    if n_x > 4 or n_u > 4:
+        return backward_pass_associative(exp, reg)
+    M = N + 1
+    steps_min = 8 * LANES
+    n_steps = max(-(-M // steps_min) * steps_min, steps_min)
+    l_blk = min(n_steps // 8, MAX_SUB_LANES)
+    blk_steps = 8 * l_blk
+    n_steps = -(-n_steps // blk_steps) * blk_steps
+    n_blocks = n_steps // blk_steps
+
+    reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
+    packed = pack_expansion_sub(exp, n_blocks, l_blk)
+    out = _fused_backward_packed(packed, reg, n_x=n_x, n_u=n_u, M=M,
+                                 l_blk=l_blk, interpret=interpret)
+    Fo = out.shape[0]
+    flat = (
+        out.reshape(Fo, 8, n_blocks, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(Fo, n_steps)
+    )
+    u_ff = flat[:n_u, :N].T                                   # (N, n_u)
+    K = flat[n_u:n_u + n_u * n_x, :N].T.reshape(N, n_u, n_x)  # (N, n_u, n_x)
+    dV = jnp.sum(flat[n_u + n_u * n_x:, :], axis=1)           # (2,)
+    ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
+    return u_ff, K, dV, ok
+
+
 @f32_matmuls
 def backward_pass_pallas(
-    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, interpret: bool = False
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
+    interpret: bool = False, layout: str = "sub",
 ):
     """Backward pass using the fused Pallas suffix scan; same contract as
     `ilqr_tpu.ops.riccati.backward_pass`."""
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
     elems = make_elements(exp, reg)
-    suffix = suffix_scan_pallas(elems, interpret=interpret)
+    suffix = suffix_scan_pallas(elems, interpret=interpret, layout=layout)
     V_x = -suffix.eta[1:]
     V_xx = suffix.J[1:]
     u_ff, K, dVs = gains_from_value(exp, V_x, V_xx, reg)

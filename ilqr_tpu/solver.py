@@ -189,6 +189,14 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None):
 
         return backward_pass_associative(exp, reg)
     if backward == "pallas":
+        # Fully fused kernel (elements + suffix scan + closure + gains in one
+        # Pallas program) when the control dimension fits; the element-scan
+        # kernel otherwise.
+        n_u = exp.l_u.shape[-1]
+        if n_u <= 4:
+            from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
+
+            return backward_pass_pallas_fused(exp, reg)
         from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
 
         return backward_pass_pallas(exp, reg)

@@ -20,3 +20,18 @@ jax.config.update("jax_platforms", "cpu")
 # process, and writing entries for mesh-sharded programs aborts too
 # ("Fatal Python error: Aborted" in compilation_cache.put/get_executable_
 # and_time).  The suite pays recompilation instead of risking hard aborts.
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap per-process accumulated XLA:CPU compile state.
+
+    XLA:CPU codegen on this jaxlib segfaults DETERMINISTICALLY once enough
+    compiled programs accumulate in one process (see NOTES.md); dropping
+    live executables between test modules keeps each pytest-xdist worker
+    far below the crash threshold at the cost of some recompilation.
+    """
+    yield
+    jax.clear_caches()
