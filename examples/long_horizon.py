@@ -41,14 +41,14 @@ def main(N: int = 100_000):
     exp = warmup(lin, X, U0)
     t_lin, _ = timed(lin, X, U0, reps=3)
 
-    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
+    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
 
-    bp = jax.jit(lambda e: backward_pass_pallas(e, 0.0))
+    bp = jax.jit(lambda e: backward_pass_pallas_fused(e, 0.0))
     warmup(bp, exp)
     t_bp, _ = timed(bp, exp, reps=5)
 
     print(f"N={N}: rollout={t_roll * 1e3:.1f}ms linearize={t_lin * 1e3:.1f}ms "
-          f"pallas-backward={t_bp * 1e3:.1f}ms "
+          f"fused-pallas-backward={t_bp * 1e3:.1f}ms "
           f"({N / t_bp / 1e6:.2f}M timesteps/s)")
 
     # Parallel-in-time initial rollout (Newton sweeps + affine prefix scan).
@@ -61,14 +61,25 @@ def main(N: int = 100_000):
           f"defect-parallel={t_roll_p * 1e3:.1f}ms "
           f"(certified defect {float(defect):.1e})")
 
-    # A few full iLQR iterations end-to-end.
+    # A few full iLQR iterations end-to-end.  Every stage parallel-in-time:
+    # defect initial rollout, fused Pallas backward, Pallas-affine defect
+    # line search (exact sequential fallback guards uncertified candidates).
     cfg = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto",
-                        adaptive_reg=True, init_rollout="defect")
+                        adaptive_reg=True, init_rollout="defect",
+                        rollout="defect")
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     warmup(solve, x0, U0)
     t_solve, sol = timed(solve, x0, U0, reps=1)
-    print(f"10-iteration solve: {t_solve:.2f}s  cost={float(sol.cost):.4f} "
-          f"iters={int(sol.iterations)}")
+    print(f"10-iteration solve (all stages parallel-in-time): {t_solve:.2f}s  "
+          f"cost={float(sol.cost):.4f} iters={int(sol.iterations)}")
+
+    cfg_seq = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto",
+                            adaptive_reg=True, init_rollout="defect")
+    solve_seq = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg_seq))
+    warmup(solve_seq, x0, U0)
+    t_seq, sol_seq = timed(solve_seq, x0, U0, reps=1)
+    print(f"10-iteration solve (sequential line search): {t_seq:.2f}s  "
+          f"cost={float(sol_seq.cost):.4f} iters={int(sol_seq.iterations)}")
 
 
 if __name__ == "__main__":
