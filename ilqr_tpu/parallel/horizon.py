@@ -38,13 +38,19 @@ from ilqr_tpu.ops.parallel_riccati import (
 )
 
 
-def _suffix_scan_local(elems: RiccatiElement) -> RiccatiElement:
+def _suffix_scan_local(elems: RiccatiElement, engine: str = "xla") -> RiccatiElement:
+    if engine == "pallas":
+        # Sublane-packed Pallas kernel per shard (in-kernel cross-block
+        # closure within the shard); XLA associative scan otherwise.
+        from ilqr_tpu.ops.pallas_riccati import suffix_scan_pallas
+
+        return suffix_scan_pallas(elems, layout="sub")
     return jax.lax.associative_scan(
         lambda a, b: combine(b, a), elems, reverse=True, axis=0
     )
 
 
-def _backward_block(axis_name, n_blocks, elems_blk, term, exp_blk, reg):
+def _backward_block(axis_name, n_blocks, engine, elems_blk, term, exp_blk, reg):
     """Per-chip body (runs under shard_map).
 
     elems_blk: this chip's stage elements, (N/D, …).
@@ -54,7 +60,7 @@ def _backward_block(axis_name, n_blocks, elems_blk, term, exp_blk, reg):
     d = jax.lax.axis_index(axis_name)
 
     # 1. Local suffix scan (no communication).
-    local = _suffix_scan_local(elems_blk)
+    local = _suffix_scan_local(elems_blk, engine)
     block_total = jax.tree_util.tree_map(lambda a: a[0], local)
 
     # 2. One small all-gather of the per-block totals.
@@ -95,16 +101,22 @@ def backward_pass_sharded(
     mesh: Mesh,
     axis: str = "time",
     reg: float = 0.0,
+    engine: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Horizon-sharded drop-in for `ilqr_tpu.ops.riccati.backward_pass`.
 
     Requires the horizon length N to be divisible by mesh.shape[axis].
     Stage arrays are sharded along time; the terminal expansion is replicated.
+    engine: 'pallas' runs each shard's local suffix scan as the sublane-packed
+    Pallas kernel, 'xla' uses associative_scan; 'auto' picks pallas on TPU.
     """
     n_blocks = mesh.shape[axis]
     N = exp.f_x.shape[0]
     if N % n_blocks != 0:
         raise ValueError(f"horizon N={N} not divisible by {n_blocks} shards")
+    if engine == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        engine = "pallas" if on_tpu and exp.v_x.shape[-1] <= 4 else "xla"
 
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
     elems_all = make_elements(exp, reg)
@@ -125,10 +137,13 @@ def backward_pass_sharded(
     )
 
     fn = jax.shard_map(
-        partial(_backward_block, axis, n_blocks),
+        partial(_backward_block, axis, n_blocks, engine),
         mesh=mesh,
         in_specs=(t_spec, r_spec, e_spec, P()),
         out_specs=(P(axis), P(axis), P()),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the static vma analysis cannot see through it.
+        check_vma=(engine != "pallas"),
     )
     u_ff, K, dV = fn(elems, term, exp_stage, reg)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
