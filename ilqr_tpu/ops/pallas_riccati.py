@@ -279,6 +279,23 @@ MAX_BLOCK_LANES = 2048
 MAX_SUB_LANES = 1024
 
 
+def _sub_blocking(M: int) -> Tuple[int, int]:
+    """(l_blk, n_blocks) for M elements.
+
+    l_blk MUST be a power of two: the recursive-doubling schedule (lane
+    sweeps d = 1..l_blk/2, then sublane sweeps d = l_blk, 2·l_blk, 4·l_blk)
+    only composes DISJOINT suffix windows when l_blk is a power of two — a
+    non-power-of-two width makes the d = l_blk sweep overlap the span already
+    accumulated by the lane phase, double-counting elements under the
+    non-idempotent combine (silently wrong gains at e.g. l_blk = 384).
+    """
+    l_blk = LANES
+    while 8 * l_blk < M and l_blk < MAX_SUB_LANES:
+        l_blk *= 2
+    n_blocks = -(-M // (8 * l_blk))
+    return l_blk, n_blocks
+
+
 def _blk_index_row(n_blocks: int, l_blk: int, dtype) -> jnp.ndarray:
     """(1, 8, n_blocks·l_blk) row holding each lane's block index.
 
@@ -319,30 +336,52 @@ def unpack_elements_sub(
     return unpack_elements(flat, M, n_x)
 
 
-def _suffix_kernel_sub(n_x: int, l_blk: int, n_blocks: int, in_ref,
-                       out_ref, scratch_ref, bound_ref):
-    """Local recursive-doubling suffix scan over one (F, 8, l_blk) block, then
-    closure against the running boundary element carried in SMEM.
+def _element_fields(row_fn, n_x: int):
+    """Row-symbolic (A, b, C, eta, J) views in the packed element layout."""
+    nn = n_x * n_x
+    A = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+    b = [row_fn(nn + i) for i in range(n_x)]
+    C = [[row_fn(nn + n_x + i * n_x + j) for j in range(n_x)]
+         for i in range(n_x)]
+    eta = [row_fn(2 * nn + n_x + i) for i in range(n_x)]
+    J = [[row_fn(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
+         for i in range(n_x)]
+    return A, b, C, eta, J
 
-    The grid walks blocks RIGHT-TO-LEFT (reversed index map) and TPU grids
-    execute sequentially, so `bound_ref` holds the combined suffix of every
-    block to the right when this block runs — no separate XLA closure pass.
-    The grid position is read from the block-index data row of `in_ref`, NOT
-    from `pl.program_id` — vmap prepends a batch grid axis, which would shift
-    the axis program_id refers to (and the step==0 init below re-seeds the
-    carry at the start of every batch element, so the SMEM scratch never
-    leaks across the batch).
+
+def _flatten_element(rows) -> List:
+    A, b, C, eta, J = rows
+    flat: List = []
+    for r in A:
+        flat.extend(r)
+    flat.extend(b)
+    for r in C:
+        flat.extend(r)
+    flat.extend(eta)
+    for r in J:
+        flat.extend(r)
+    return flat
+
+
+def _scan_block(n_x: int, l_blk: int, step, work_ref, scratch_ref, bound_ref):
+    """Shared per-block machinery: seed the SMEM boundary carry at grid step
+    0, run the local recursive-doubling suffix sweeps over `work_ref`, and
+    close against the carried boundary.  Does NOT update the carry — callers
+    may still need the pre-update boundary (the fused kernel reads it for the
+    V(k+1) shift) and call `_update_carry` afterwards.
+
+    l_blk must be a power of two (see `_sub_blocking`).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert l_blk & (l_blk - 1) == 0, "sweep schedule needs power-of-two l_blk"
     S = 8 * l_blk
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 0)
     t_idx = sub * l_blk + lane
-    F = in_ref.shape[0] - 1  # trailing row = block index
+    F = _num_fields(n_x)
     nn = n_x * n_x
-    step = (n_blocks - 1) - in_ref[F, 0, 0].astype(jnp.int32)  # reversed position
 
     # Rightmost block: boundary = identity element (A = I, rest 0).
     @pl.when(step == 0)
@@ -351,58 +390,39 @@ def _suffix_kernel_sub(n_x: int, l_blk: int, n_blocks: int, in_ref,
             diag = f < nn and (f // n_x) == (f % n_x)
             bound_ref[f, 0] = jnp.float32(1.0) if diag else jnp.float32(0.0)
 
-    out_ref[:] = in_ref[0:F, :, :]
-
-    def _fields(row_fn):
-        nn = n_x * n_x
-        A = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
-        b = [row_fn(nn + i) for i in range(n_x)]
-        C = [[row_fn(nn + n_x + i * n_x + j) for j in range(n_x)]
-             for i in range(n_x)]
-        eta = [row_fn(2 * nn + n_x + i) for i in range(n_x)]
-        J = [[row_fn(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
-             for i in range(n_x)]
-        return A, b, C, eta, J
-
-    def _apply(d, partner_row):
-        Ei = _fields(lambda i: out_ref[i, :, :])
-        Ej = _fields(partner_row)
-        A, b, C, eta, J = _combine_rows(Ei, Ej, n_x)
-        flat: List = []
-        for r in A:
-            flat.extend(r)
-        flat.extend(b)
-        for r in C:
-            flat.extend(r)
-        flat.extend(eta)
-        for r in J:
-            flat.extend(r)
-        valid = t_idx < (S - d)
-        # Masked row-by-row writes into scratch (out rows are still read by
+    def _apply(d, partner_row, valid):
+        Ei = _element_fields(lambda i: work_ref[i, :, :], n_x)
+        Ej = _element_fields(partner_row, n_x)
+        flat = _flatten_element(_combine_rows(Ei, Ej, n_x))
+        # Masked row-by-row writes into scratch (work rows are still read by
         # later `flat` entries, so the update must not alias), then copy back.
         for idx, new_row in enumerate(flat):
-            scratch_ref[idx, :, :] = jnp.where(valid, new_row, out_ref[idx, :, :])
-        out_ref[:] = scratch_ref[:]
+            if valid is None:
+                scratch_ref[idx, :, :] = new_row
+            else:
+                scratch_ref[idx, :, :] = jnp.where(
+                    valid, new_row, work_ref[idx, :, :])
+        work_ref[:] = scratch_ref[:]
 
     def lane_sweep(s, carry):
         d = 1 << s
 
         def partner(i):
-            r = out_ref[i, :, :]
+            r = work_ref[i, :, :]
             rl = pltpu.roll(r, shift=l_blk - d, axis=1)   # lane left-roll by d
             rw = pltpu.roll(rl, shift=7, axis=0)          # sublane +1 carry
             return jnp.where(lane < l_blk - d, rl, rw)
 
-        _apply(d, partner)
+        _apply(d, partner, t_idx < (S - d))
         return carry
 
     def sub_sweep(s, carry):
         m = 1 << s
 
         def partner(i):
-            return pltpu.roll(out_ref[i, :, :], shift=8 - m, axis=0)
+            return pltpu.roll(work_ref[i, :, :], shift=8 - m, axis=0)
 
-        _apply(m * l_blk, partner)
+        _apply(m * l_blk, partner, t_idx < (S - m * l_blk))
         return carry
 
     n_lane_sweeps = (l_blk - 1).bit_length()  # d = 1 .. l_blk/2
@@ -413,28 +433,39 @@ def _suffix_kernel_sub(n_x: int, l_blk: int, n_blocks: int, in_ref,
     # The rightmost block (grid step 0) has an identity boundary — skip.
     @pl.when(step > 0)
     def _apply_boundary():
-        Ei = _fields(lambda i: out_ref[i, :, :])
-        Ej = _fields(lambda i: bound_ref[i, 0])  # scalars, broadcast
-        A, b, C, eta, J = _combine_rows(Ei, Ej, n_x)
-        flat: List = []
-        for r in A:
-            flat.extend(r)
-        flat.extend(b)
-        for r in C:
-            flat.extend(r)
-        flat.extend(eta)
-        for r in J:
-            flat.extend(r)
-        for idx, new_row in enumerate(flat):
-            scratch_ref[idx, :, :] = new_row
-        out_ref[:] = scratch_ref[:]
+        _apply(0, lambda i: bound_ref[i, 0], None)  # scalars, broadcast
 
-    # New boundary = closed element at local t = 0 (covers this block .. end);
-    # not needed after the leftmost block (the final grid step).
+
+def _update_carry(n_x: int, n_blocks: int, step, work_ref, bound_ref):
+    """New boundary = closed element at local t = 0 (this block .. end); not
+    needed after the leftmost block (the final grid step)."""
+    import jax.experimental.pallas as pl
+
     @pl.when(step < n_blocks - 1)
     def _update_boundary():
-        for f in range(F):
-            bound_ref[f, 0] = out_ref[f, 0, 0]
+        for f in range(_num_fields(n_x)):
+            bound_ref[f, 0] = work_ref[f, 0, 0]
+
+
+def _suffix_kernel_sub(n_x: int, l_blk: int, n_blocks: int, in_ref,
+                       out_ref, scratch_ref, bound_ref):
+    """Local recursive-doubling suffix scan over one (F, 8, l_blk) block, then
+    closure against the running boundary element carried in SMEM.
+
+    The grid walks blocks RIGHT-TO-LEFT (reversed index map) and TPU grids
+    execute sequentially, so `bound_ref` holds the combined suffix of every
+    block to the right when this block runs — no separate XLA closure pass.
+    The grid position is read from the block-index data row of `in_ref`, NOT
+    from `pl.program_id` — vmap prepends a batch grid axis, which would shift
+    the axis program_id refers to (and the step==0 init in `_scan_block`
+    re-seeds the carry at the start of every batch element, so the SMEM
+    scratch never leaks across the batch).
+    """
+    F = in_ref.shape[0] - 1  # trailing row = block index
+    step = (n_blocks - 1) - in_ref[F, 0, 0].astype(jnp.int32)  # reversed position
+    out_ref[:] = in_ref[0:F, :, :]
+    _scan_block(n_x, l_blk, step, out_ref, scratch_ref, bound_ref)
+    _update_carry(n_x, n_blocks, step, out_ref, bound_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n_x", "l_blk", "interpret"))
@@ -566,12 +597,7 @@ def suffix_scan_pallas(
         return suffix_scan(elems)
 
     if layout == "sub":
-        steps_min = 8 * LANES
-        n_steps = max(-(-M // steps_min) * steps_min, steps_min)
-        l_blk = min(n_steps // 8, MAX_SUB_LANES)
-        blk_steps = 8 * l_blk
-        n_steps = -(-n_steps // blk_steps) * blk_steps
-        n_blocks = n_steps // blk_steps
+        l_blk, n_blocks = _sub_blocking(M)
         packed = pack_elements_sub(elems, n_blocks, l_blk)
         out = _suffix_scan_packed_sub(packed, n_x=n_x, l_blk=l_blk,
                                       interpret=interpret)
@@ -602,10 +628,6 @@ def suffix_scan_pallas(
 # Eliminates the XLA make_elements / pack / unpack / gains stages that
 # dominated the unfused pipeline (measured: they were ~70% of wall-clock).
 # ---------------------------------------------------------------------------
-
-
-def _exp_field_count(n_x: int, n_u: int) -> int:
-    return 2 * n_x * n_x + n_x * n_u + n_x + n_u + n_u * n_x + n_u * n_u
 
 
 def _exp_rows(row_fn, n_x: int, n_u: int):
@@ -668,28 +690,19 @@ def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int):
 def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
                   reg_ref, in_ref, out_ref, elem_ref, scratch_ref,
                   bound_ref):
-    import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     S = 8 * l_blk
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 0)
     t_loc = sub * l_blk + lane
-    F = _num_fields(n_x)
     nn = n_x * n_x
     reg = reg_ref[0, 0]
     # Grid position from the block-index data row, not pl.program_id — stays
     # correct under vmap (the batch axis is prepended to the grid), and the
-    # step==0 init below re-seeds the carry per batch element.
+    # step==0 init in _scan_block re-seeds the carry per batch element.
     Fe_last = in_ref.shape[0] - 1
     step = (n_blocks - 1) - in_ref[Fe_last, 0, 0].astype(jnp.int32)
-
-    # Rightmost block first: boundary = identity element.
-    @pl.when(step == 0)
-    def _init_boundary():
-        for f in range(F):
-            diag = f < nn and (f // n_x) == (f % n_x)
-            bound_ref[f, 0] = jnp.float32(1.0) if diag else jnp.float32(0.0)
 
     blk = n_blocks - 1 - step
     t_glob = t_loc + blk * S
@@ -739,73 +752,9 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
         elem_ref[idx, :, :] = r
     del elem_rows
 
-    # --- 2. Local suffix sweeps (same scheme as _suffix_kernel_sub). ---
-    def _fields(row_fn):
-        A = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
-        b = [row_fn(nn + i) for i in range(n_x)]
-        C = [[row_fn(nn + n_x + i * n_x + j) for j in range(n_x)]
-             for i in range(n_x)]
-        eta = [row_fn(2 * nn + n_x + i) for i in range(n_x)]
-        J = [[row_fn(2 * nn + 2 * n_x + i * n_x + j) for j in range(n_x)]
-             for i in range(n_x)]
-        return A, b, C, eta, J
-
-    def _flatten(rows):
-        A, b, C, eta, J = rows
-        flat: List = []
-        for r in A:
-            flat.extend(r)
-        flat.extend(b)
-        for r in C:
-            flat.extend(r)
-        flat.extend(eta)
-        for r in J:
-            flat.extend(r)
-        return flat
-
-    def _apply(d, partner_row):
-        Ei = _fields(lambda i: elem_ref[i, :, :])
-        Ej = _fields(partner_row)
-        flat = _flatten(_combine_rows(Ei, Ej, n_x))
-        valid = t_loc < (S - d)
-        for idx, new_row in enumerate(flat):
-            scratch_ref[idx, :, :] = jnp.where(valid, new_row,
-                                               elem_ref[idx, :, :])
-        elem_ref[:] = scratch_ref[:]
-
-    def lane_sweep(s, carry):
-        d = 1 << s
-
-        def partner(i):
-            r = elem_ref[i, :, :]
-            rl = pltpu.roll(r, shift=l_blk - d, axis=1)
-            rw = pltpu.roll(rl, shift=7, axis=0)
-            return jnp.where(lane < l_blk - d, rl, rw)
-
-        _apply(d, partner)
-        return carry
-
-    def sub_sweep(s, carry):
-        m = 1 << s
-
-        def partner(i):
-            return pltpu.roll(elem_ref[i, :, :], shift=8 - m, axis=0)
-
-        _apply(m * l_blk, partner)
-        return carry
-
-    jax.lax.fori_loop(0, (l_blk - 1).bit_length(), lane_sweep, 0)
-    jax.lax.fori_loop(0, 3, sub_sweep, 0)
-
-    # --- 3. Closure with the carried boundary (skip on identity). ---
-    @pl.when(step > 0)
-    def _apply_boundary():
-        Ei = _fields(lambda i: elem_ref[i, :, :])
-        Ej = _fields(lambda i: bound_ref[i, 0])
-        flat = _flatten(_combine_rows(Ei, Ej, n_x))
-        for idx, new_row in enumerate(flat):
-            scratch_ref[idx, :, :] = new_row
-        elem_ref[:] = scratch_ref[:]
+    # --- 2+3. Local suffix sweeps + closure (shared with the scan kernel;
+    # carry seeding at step 0 happens inside _scan_block). ---
+    _scan_block(n_x, l_blk, step, elem_ref, scratch_ref, bound_ref)
 
     # --- 4. V at k+1: d=1 partner of the closed elements; the block's last
     # position is fed by the (pre-update) boundary carry. ---
@@ -821,10 +770,7 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
            for i in range(n_x)]
 
     # --- 5. Boundary carry update for the next (left) block. ---
-    @pl.when(step < n_blocks - 1)
-    def _update_boundary():
-        for f in range(F):
-            bound_ref[f, 0] = elem_ref[f, 0, 0]
+    _update_carry(n_x, n_blocks, step, elem_ref, bound_ref)
 
     # --- 6. Gains: Q-expansion at k against V(k+1) = (J_n, −eta_n). ---
     v_x = [-e for e in eta_n]
@@ -906,12 +852,8 @@ def backward_pass_pallas_fused(
     if n_x > 4 or n_u > 4:
         return backward_pass_associative(exp, reg)
     M = N + 1
-    steps_min = 8 * LANES
-    n_steps = max(-(-M // steps_min) * steps_min, steps_min)
-    l_blk = min(n_steps // 8, MAX_SUB_LANES)
-    blk_steps = 8 * l_blk
-    n_steps = -(-n_steps // blk_steps) * blk_steps
-    n_blocks = n_steps // blk_steps
+    l_blk, n_blocks = _sub_blocking(M)
+    n_steps = n_blocks * 8 * l_blk
 
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
     packed = pack_expansion_sub(exp, n_blocks, l_blk)

@@ -103,6 +103,30 @@ def test_fused_backward_under_vmap():
         np.testing.assert_allclose(dV_b[b], dV_s, rtol=2e-3, atol=2e-3)
 
 
+def test_sub_blocking_is_power_of_two():
+    """Regression: the sweep schedule silently double-counts elements when
+    l_blk is not a power of two (l_blk=384 gave |Δu_ff| ≈ 0.29); the sizing
+    must only ever produce power-of-two lane widths."""
+    from ilqr_tpu.ops.pallas_riccati import _sub_blocking
+
+    for M in [1, 97, 1025, 2501, 4097, 7000, 8192, 8193, 50001]:
+        l_blk, n_blocks = _sub_blocking(M)
+        assert l_blk & (l_blk - 1) == 0
+        assert l_blk % 128 == 0
+        assert n_blocks * 8 * l_blk >= M
+
+
+def test_fused_backward_default_sizing_n2500():
+    """Regression at a horizon that previously produced l_blk=384 (wrong
+    gains); runs the production sizing path, no monkeypatching."""
+    exp = _pendulum_expansion(N=2500)
+    u_f, K_f, _, ok = backward_pass_pallas_fused(exp, 0.0, interpret=True)
+    u_s, K_s, _, _ = backward_pass(exp, 0.0)
+    assert bool(ok)
+    np.testing.assert_allclose(u_f, u_s, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(K_f, K_s, rtol=2e-3, atol=2e-3)
+
+
 def test_fused_backward_multiblock_closure():
     """Horizon longer than one kernel block exercises the SMEM boundary carry.
 
