@@ -26,9 +26,36 @@ from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.smallmat import solve_small
 
 
+def _noise_q_terms(V_xx, C, C_x, C_u):
+    """iLQG noise contributions to the Q-expansion (Todorov & Li 2005, §II).
+
+    With stochastic dynamics x⁺ = f(x, u) + C(x, u)·ξ, ξ ~ N(0, I), the
+    expected cost-to-go adds, per noise column c_i with Jacobians ∂c_i/∂x,
+    ∂c_i/∂u:  q_u = Σ_i C_u,iᵀ V_xx c_i, q_uu = Σ_i C_u,iᵀ V_xx C_u,i, etc.
+    Additive noise (C_x = C_u = 0) contributes nothing — certainty
+    equivalence; state/control-dependent noise yields "cautious" gains.
+
+    Shapes: C (n_x, n_w); C_x (n_x, n_w, n_x); C_u (n_x, n_w, n_u).
+    """
+    n_x, n_w = C.shape
+    n_u = C_u.shape[-1]
+    Vc = V_xx @ C                                            # (n_x, n_w)
+    Wu = (V_xx @ C_u.reshape(n_x, -1)).reshape(n_x, n_w, n_u)
+    Wx = (V_xx @ C_x.reshape(n_x, -1)).reshape(n_x, n_w, n_x)
+    Cu2 = C_u.reshape(n_x * n_w, n_u)
+    Cx2 = C_x.reshape(n_x * n_w, n_x)
+    q_u = Cu2.T @ Vc.reshape(-1)
+    q_x = Cx2.T @ Vc.reshape(-1)
+    q_uu = Cu2.T @ Wu.reshape(n_x * n_w, n_u)
+    q_ux = Cu2.T @ Wx.reshape(n_x * n_w, n_x)
+    q_xx = Cx2.T @ Wx.reshape(n_x * n_w, n_x)
+    return q_x, q_u, q_xx, q_ux, q_uu
+
+
 @f32_matmuls
 def backward_pass(
-    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None,
+    noise=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the Riccati recursion.
 
@@ -37,6 +64,10 @@ def backward_pass(
     (Jacobson & Mayne; the reference is Gauss-Newton iLQR only).  DDP is
     inherently sequential — the terms couple to the running V_x, so they have
     no associative-scan/Pallas counterpart.
+
+    With ``noise`` (a (C, C_x, C_u) triple of stacked (N, …) arrays — see
+    `ilqr_tpu.ilqg`), adds the iLQG noise-covariance terms; also sequential,
+    they couple to the running V_xx.
 
     Returns:
         u_ff: (N, n_u) feedforward controls
@@ -50,7 +81,7 @@ def backward_pass(
 
     def body(carry, inp):
         V_x, V_xx = carry
-        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu), h = inp
+        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu), h, nz = inp
 
         # Q-expansion (`iLQR_class.py:100-104`).
         fuT_Vxx = f_u.T @ V_xx
@@ -67,6 +98,10 @@ def backward_pass(
             Q_xx = Q_xx + jnp.sum(vx * f_xx, axis=0)
             Q_ux = Q_ux + jnp.sum(vx * f_ux, axis=0)
             Q_uu = Q_uu + jnp.sum(vx * f_uu, axis=0)
+        if nz is not None:
+            q_x, q_u, q_xx, q_ux, q_uu = _noise_q_terms(V_xx, *nz)
+            Q_x, Q_u = Q_x + q_x, Q_u + q_u
+            Q_xx, Q_ux, Q_uu = Q_xx + q_xx, Q_ux + q_ux, Q_uu + q_uu
 
         Q_uu_reg = Q_uu + reg * eye_u
         # Gains (`iLQR_class.py:109-110`); one factorization for both solves.
@@ -84,7 +119,8 @@ def backward_pass(
 
     init = (exp.v_x, exp.v_xx)
     xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu),
-          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu))
+          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu),
+          None if noise is None else tuple(noise))
     # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py).
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
                                           unroll=8)
@@ -102,6 +138,7 @@ def backward_pass_limited(
     reg: jnp.ndarray | float = 0.0,
     qp_iters: int = 8,
     hess=None,
+    noise=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Control-limited backward pass (Tassa et al. 2014, see ops/boxqp.py).
 
@@ -118,7 +155,7 @@ def backward_pass_limited(
 
     def body(carry, inp):
         V_x, V_xx = carry
-        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, u_k), h = inp
+        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, u_k), h, nz = inp
 
         fuT_Vxx = f_u.T @ V_xx
         Q_x = l_x + f_x.T @ V_x
@@ -134,6 +171,10 @@ def backward_pass_limited(
             Q_xx = Q_xx + jnp.sum(vx * f_xx, axis=0)
             Q_ux = Q_ux + jnp.sum(vx * f_ux, axis=0)
             Q_uu = Q_uu + jnp.sum(vx * f_uu, axis=0)
+        if nz is not None:
+            q_x, q_u, q_xx, q_ux, q_uu = _noise_q_terms(V_xx, *nz)
+            Q_x, Q_u = Q_x + q_x, Q_u + q_u
+            Q_xx, Q_ux, Q_uu = Q_xx + q_xx, Q_ux + q_ux, Q_uu + q_uu
 
         Q_uu_reg = Q_uu + reg * eye_u
         u_ff, free, K = boxqp_with_gains(
@@ -149,7 +190,8 @@ def backward_pass_limited(
     init = (exp.v_x, exp.v_xx)
     xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu,
            U_old),
-          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu))
+          None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu),
+          None if noise is None else tuple(noise))
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
                                           unroll=8)
     dV = jnp.sum(dVs, axis=0)

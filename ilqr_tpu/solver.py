@@ -89,6 +89,12 @@ class IlqrConfig:
     u_min: Any = None
     u_max: Any = None
     boxqp_iters: int = 8
+    # iLQG stochastic dynamics (ilqr_tpu.ilqg): a pure function
+    # noise_fn(x, u) -> (n_x, n_w) giving the noise-direction matrix C of
+    # x⁺ = f(x, u) + C(x, u)·ξ, ξ ~ N(0, I).  The backward pass minimizes the
+    # EXPECTED cost (noise-covariance Q-terms); nominal rollouts, line search
+    # and the convergence test stay deterministic.  Sequential backward only.
+    noise: Any = None
 
     def __post_init__(self):
         if self.backward not in ("auto", "scan", "pscan", "pallas"):
@@ -126,6 +132,12 @@ class IlqrConfig:
                 )
             if self.rollout != "scan":
                 raise ValueError("control limits require rollout='scan'")
+        if self.noise is not None and self.backward not in ("auto", "scan"):
+            raise ValueError(
+                "noise (iLQG) requires the sequential backward pass "
+                "(backward='scan'/'auto'); the noise terms couple to the "
+                "running V_xx and have no associative form"
+            )
         if self.maxiter < 1:
             raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
 
@@ -164,15 +176,16 @@ class IlqrSolution:
     grad_trace: Any   # (maxiter,) max |u_ff| per iteration (nan-padded)
 
 
-def _backward(exp, U, reg, config: IlqrConfig, hess=None):
+def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
     if config.u_min is not None:
         from ilqr_tpu.ops.riccati import backward_pass_limited
 
         lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
         return backward_pass_limited(exp, U, lo, hi, reg,
-                                     qp_iters=config.boxqp_iters, hess=hess)
-    if config.ddp:
-        return backward_pass(exp, reg, hess=hess)
+                                     qp_iters=config.boxqp_iters, hess=hess,
+                                     noise=noise)
+    if config.ddp or noise is not None:
+        return backward_pass(exp, reg, hess=hess, noise=noise)
     backward = config.backward
     if backward == "auto":
         # Sequential scan has the least per-step work but O(N) latency; the
@@ -279,7 +292,14 @@ def solve(
                 hess = dynamics_hessians(system, s["X"], s["U"])
             else:
                 hess = None
-            u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config, hess)
+            if config.noise is not None:
+                from ilqr_tpu.ilqg import noise_expansion
+
+                noise = tuple(noise_expansion(config.noise, s["X"], s["U"]))
+            else:
+                noise = None
+            u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config,
+                                           hess, noise)
 
             if config.rollout == "pallas":
                 from ilqr_tpu.ops.pallas_rollout import (
