@@ -38,6 +38,12 @@ from ilqr_tpu.constrained import (
     merge_constraints,
     INFEASIBLE,
 )
+from ilqr_tpu.barrier import (
+    solve_barrier,
+    BarrierConfig,
+    BarrierSolution,
+    relaxed_log_barrier,
+)
 
 __version__ = "0.1.0"
 
@@ -51,5 +57,6 @@ __all__ = [
     "solve_constrained", "ConstraintSet", "ConstrainedSolution", "AlConfig",
     "box_control_constraints", "goal_constraint", "merge_constraints",
     "INFEASIBLE",
+    "solve_barrier", "BarrierConfig", "BarrierSolution", "relaxed_log_barrier",
     "tvlqr_gains", "track", "track_solution",
 ]
