@@ -332,11 +332,19 @@ def solve_constrained(
     U_init: jnp.ndarray,
     config: IlqrConfig = IlqrConfig(),
     al_config: AlConfig = AlConfig(),
+    lam_init: dict = None,
+    mu_init=None,
 ) -> ConstrainedSolution:
     """Solve the constrained problem. Pure; safe to jit/vmap/shard.
 
     Multiplier shapes are inferred by tracing the constraint callables once
     at (x0, U_init[0]) — constraint residual sizes must be static.
+
+    ``lam_init`` warm-starts the multipliers: a dict with keys
+    ``gi (N, n_gi) / he (N, n_he) / gti (n_gti,) / hte (n_hte,)`` (e.g. the
+    ``lam_*`` fields of a previous `ConstrainedSolution`, shifted along the
+    horizon for MPC).  ``mu_init`` warm-starts the penalty.  Both default to
+    the cold start (zeros / ``al_config.mu0``).
     """
     if U_init.ndim != 2 or U_init.shape[1] != system.n_u:
         raise ValueError(
@@ -355,11 +363,15 @@ def solve_constrained(
         gi=jnp.zeros((N, n_gi), dtype), he=jnp.zeros((N, n_he), dtype),
         gti=jnp.zeros((n_gti,), dtype), hte=jnp.zeros((n_hte,), dtype),
     )
+    if lam_init is not None:
+        lams0 = {k: jnp.asarray(lam_init[k], dtype).reshape(lams0[k].shape)
+                 for k in lams0}
     nan = jnp.full((al_config.max_outer,), jnp.nan, dtype=dtype)
     init = dict(
         X=jnp.zeros((N + 1, system.n_x), dtype), U=U_init,
         cost=jnp.asarray(jnp.inf, dtype), violation=jnp.asarray(jnp.inf, dtype),
-        lams=lams0, mu=jnp.asarray(al_config.mu0, dtype),
+        lams=lams0,
+        mu=jnp.asarray(al_config.mu0 if mu_init is None else mu_init, dtype),
         j=jnp.asarray(0), inner_total=jnp.asarray(0),
         status=jnp.asarray(RUNNING),
         violation_trace=nan, cost_trace=nan,

@@ -146,3 +146,122 @@ def run_mpc_batched(
     return jax.vmap(
         lambda x0: run_mpc(solver_system, plant_system, x0, U_init, n_sim, config)
     )(x0_batch)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConstrainedMpcResult:
+    X: Any             # (N_sim+1, n_x) closed-loop state trajectory
+    U: Any             # (N_sim, n_u) applied controls
+    cost: Any          # scalar: accumulated true plant stage cost + terminal
+    violation: Any     # (N_sim,) per-step max constraint violation at the plan
+    solve_iters: Any   # (N_sim,) inner iLQR iterations used per step
+    solve_status: Any  # (N_sim,) per-step solver status
+
+
+@f32_matmuls
+def run_mpc_constrained(
+    solver_system: System,
+    plant_system: System,
+    constraints,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+    al_config=None,
+) -> ConstrainedMpcResult:
+    """Receding-horizon MPC with general constraints (augmented Lagrangian).
+
+    Greenfield capability (the reference MPC is unconstrained,
+    `run_iLQR_MPC.py:116-140`).  Per step the AL solver runs with a small
+    budget and is warm-started on BOTH the shifted controls and the SHIFTED
+    MULTIPLIERS + penalty from the previous step — across steps the
+    multipliers converge, so a per-step `AlConfig(max_outer=2..3)` reaches
+    violations a cold-started solve would need the full outer loop for
+    (the ALTRO-MPC pattern, Nguyen et al. 2020).  One `lax.scan` over the
+    simulation — zero host round-trips; vmap-able like `run_mpc`.
+    """
+    from ilqr_tpu.constrained import AlConfig, solve_constrained
+
+    if al_config is None:
+        al_config = AlConfig(max_outer=3, ctol=1e-3)
+
+    def shift(lam):   # shift stage multipliers with the horizon, hold last
+        return jnp.concatenate([lam[1:], lam[-1:]], axis=0)
+
+    def mpc_step(carry, _):
+        x, U_warm, lams, mu = carry
+        sol = solve_constrained(
+            solver_system, constraints, x, U_warm, config, al_config,
+            lam_init=lams, mu_init=mu)
+        u0 = sol.U[0]
+        x_next = step(plant_system, x, u0)
+        U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
+        lams_next = dict(
+            gi=shift(sol.lam_stage_ineq), he=shift(sol.lam_stage_eq),
+            gti=sol.lam_terminal_ineq, hte=sol.lam_terminal_eq)
+        c = plant_system.stage_cost(plant_system.params, x, u0)
+        out = (x, u0, c, sol.violation, sol.inner_iterations, sol.status)
+        return (x_next, U_next, lams_next, sol.mu), out
+
+    # Trace multiplier shapes once for the scan carry (cold start).
+    sol0_shape = jax.eval_shape(
+        lambda: solve_constrained(solver_system, constraints, x0, U_init,
+                                  config, al_config))
+    dtype = U_init.dtype
+    lams0 = dict(
+        gi=jnp.zeros(sol0_shape.lam_stage_ineq.shape, dtype),
+        he=jnp.zeros(sol0_shape.lam_stage_eq.shape, dtype),
+        gti=jnp.zeros(sol0_shape.lam_terminal_ineq.shape, dtype),
+        hte=jnp.zeros(sol0_shape.lam_terminal_eq.shape, dtype))
+    mu0 = jnp.asarray(al_config.mu0, dtype)
+
+    (x_N, _, _, _), (X_head, U, cs, viols, iters, status) = jax.lax.scan(
+        mpc_step, (x0, U_init, lams0, mu0), None, length=n_sim)
+    cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return ConstrainedMpcResult(X=X, U=U, cost=cost, violation=viols,
+                                solve_iters=iters, solve_status=status)
+
+
+@f32_matmuls
+def run_mpc_barrier(
+    solver_system: System,
+    plant_system: System,
+    constraints,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+    mu: float = 1e-2,
+    delta: float = 0.05,
+) -> ConstrainedMpcResult:
+    """Relaxed-barrier MPC: FIXED (μ, δ) every step (Feller & Ebenbauer 2017).
+
+    No central path in the loop — each step solves ONE smooth barrier-
+    penalized problem from the shifted warm start, giving a constant,
+    predictable per-step latency (ideal for real-time control).  The fixed
+    relaxed barrier makes the closed loop anti-windup by construction:
+    infeasible states get finite costs and the controller steers back to the
+    interior.  Accepts any backward backend in `config` (the penalty is C²).
+    """
+    from ilqr_tpu.barrier import BarrierConfig, solve_barrier
+
+    bc = BarrierConfig(n_outer=1, mu0=mu, delta=delta, delta_factor=1.0)
+
+    def mpc_step(carry, _):
+        x, U_warm = carry
+        sol = solve_barrier(solver_system, constraints, x, U_warm, config, bc)
+        u0 = sol.U[0]
+        x_next = step(plant_system, x, u0)
+        U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
+        c = plant_system.stage_cost(plant_system.params, x, u0)
+        out = (x, u0, c, sol.violation, sol.inner_iterations, sol.status)
+        return (x_next, U_next), out
+
+    (x_N, _), (X_head, U, cs, viols, iters, status) = jax.lax.scan(
+        mpc_step, (x0, U_init), None, length=n_sim)
+    cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return ConstrainedMpcResult(X=X, U=U, cost=cost, violation=viols,
+                                solve_iters=iters, solve_status=status)

@@ -102,3 +102,54 @@ def test_mpc_rti_validates_divisibility():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "divisible" in str(e)
+
+
+def test_mpc_constrained_torque_limited_swingup():
+    """AL-constrained MPC with multiplier warm-starting: swings up while the
+    applied torques respect the limit; the unconstrained MPC exceeds it."""
+    from ilqr_tpu.constrained import AlConfig, box_control_constraints
+    from ilqr_tpu.mpc import run_mpc_constrained
+
+    solver_sys, plant_sys = _pendulum_pair()
+    # lim=6 binds (unconstrained peak ~11.4) but keeps one-swing feasibility;
+    # tighter limits need multi-swing pumping the local solver won't find.
+    N_h, n_sim, lim = 200, 400, 6.0
+    cons = box_control_constraints(jnp.array([-lim]), jnp.array([lim]))
+
+    res_un = run_mpc(
+        solver_sys, plant_sys, jnp.zeros(2), jnp.zeros((N_h, 1)),
+        n_sim=n_sim, config=it.IlqrConfig(maxiter=10, tol=1e-5))
+    assert float(jnp.max(jnp.abs(res_un.U))) > lim   # limit is binding
+
+    res = run_mpc_constrained(
+        solver_sys, plant_sys, cons, jnp.zeros(2), jnp.zeros((N_h, 1)),
+        n_sim=n_sim, config=it.IlqrConfig(maxiter=15, tol=1e-6),
+        al_config=AlConfig(max_outer=2, ctol=1e-3, mu0=1.0))
+    xN = np.asarray(res.X[-1])
+    assert abs(xN[0] - np.pi) < 0.05, f"did not swing up: {xN}"
+    assert abs(xN[1]) < 0.1
+    assert float(jnp.max(jnp.abs(res.U))) <= lim + 5e-3
+    # Multiplier warm-starting across steps: the per-step plans end feasible
+    # (tail of the run, after the multipliers have converged).
+    assert float(jnp.max(res.violation[-100:])) <= 1e-3
+
+
+def test_mpc_barrier_torque_limited_swingup():
+    """Fixed-(mu, delta) relaxed-barrier MPC: constant per-step work, bounded
+    torques, still swings up."""
+    from ilqr_tpu.constrained import box_control_constraints
+    from ilqr_tpu.mpc import run_mpc_barrier
+
+    solver_sys, plant_sys = _pendulum_pair()
+    N_h, n_sim, lim = 200, 400, 6.0
+    cons = box_control_constraints(jnp.array([-lim]), jnp.array([lim]))
+
+    res = run_mpc_barrier(
+        solver_sys, plant_sys, cons, jnp.zeros(2), jnp.zeros((N_h, 1)),
+        n_sim=n_sim, config=it.IlqrConfig(maxiter=10, tol=1e-6),
+        mu=1e-2, delta=0.05)
+    xN = np.asarray(res.X[-1])
+    assert abs(xN[0] - np.pi) < 0.05, f"did not swing up: {xN}"
+    assert abs(xN[1]) < 0.1
+    # Relaxed barrier admits O(mu/ lim)-scale excursions; keep a loose bound.
+    assert float(jnp.max(jnp.abs(res.U))) <= lim + 5e-2
