@@ -44,6 +44,8 @@ from ilqr_tpu.barrier import (
     BarrierSolution,
     relaxed_log_barrier,
 )
+from ilqr_tpu.diff import solve_implicit, run_mpc_implicit, IftConfig
+from ilqr_tpu.mppi import solve_mppi, mppi_update, run_mpc_mppi, MppiConfig
 
 __version__ = "0.1.0"
 
@@ -59,4 +61,6 @@ __all__ = [
     "INFEASIBLE",
     "solve_barrier", "BarrierConfig", "BarrierSolution", "relaxed_log_barrier",
     "tvlqr_gains", "track", "track_solution",
+    "solve_implicit", "run_mpc_implicit", "IftConfig",
+    "solve_mppi", "mppi_update", "run_mpc_mppi", "MppiConfig",
 ]

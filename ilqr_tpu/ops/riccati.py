@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
+from ilqr_tpu.ops.rollout import scan_unroll
 from ilqr_tpu.ops.smallmat import solve_small
 
 
@@ -121,9 +122,10 @@ def backward_pass(
     xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu),
           None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu),
           None if noise is None else tuple(noise))
-    # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py).
+    # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py;
+    # unroll=1 off-TPU to keep reverse-mode compile times sane).
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
-                                          unroll=8)
+                                          unroll=scan_unroll(8))
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
     return u_ff, K, dV, ok
@@ -193,7 +195,7 @@ def backward_pass_limited(
           None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu),
           None if noise is None else tuple(noise))
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,
-                                          unroll=8)
+                                          unroll=scan_unroll(8))
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
     return u_ff, K, dV, ok

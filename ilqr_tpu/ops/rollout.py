@@ -24,8 +24,16 @@ from ilqr_tpu.ops.integrators import step
 
 # Unrolling the sequential scans amortizes TPU per-step dispatch overhead
 # (~15 µs/step unrolled=1 on v5e) across several physical steps; 16 keeps
-# compile time modest while cutting rollout latency several-fold.
+# compile time modest while cutting rollout latency several-fold.  On CPU the
+# overhead being amortized doesn't exist and unrolling only multiplies
+# XLA:CPU compile time (catastrophically so for reverse-mode programs that
+# differentiate through these scans — see ilqr_tpu.diff), so non-TPU
+# backends scan with unroll=1.
 SCAN_UNROLL = 16
+
+
+def scan_unroll(tpu_value: int = SCAN_UNROLL) -> int:
+    return tpu_value if jax.default_backend() == "tpu" else 1
 
 
 @f32_matmuls
@@ -38,7 +46,7 @@ def rollout(system: System, x0: jnp.ndarray, U: jnp.ndarray):
         x1 = step(system, x, u)
         return (x1, c), x
 
-    (x_N, cost), X_head = jax.lax.scan(body, (x0, 0.0), U, unroll=SCAN_UNROLL)
+    (x_N, cost), X_head = jax.lax.scan(body, (x0, 0.0), U, unroll=scan_unroll())
     cost = cost + system.terminal_cost(system.params, x_N)
     X = jnp.concatenate([X_head, x_N[None]], axis=0)
     return X, cost
@@ -72,7 +80,7 @@ def closed_loop_rollout(
         return (x1, c), (x, u)
 
     (x_N, cost), (X_head, U_new) = jax.lax.scan(
-        body, (x0, 0.0), (X_old[:-1], U_old, u_ff, K), unroll=SCAN_UNROLL
+        body, (x0, 0.0), (X_old[:-1], U_old, u_ff, K), unroll=scan_unroll()
     )
     cost = cost + system.terminal_cost(system.params, x_N)
     X_new = jnp.concatenate([X_head, x_N[None]], axis=0)
