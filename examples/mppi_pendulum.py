@@ -67,4 +67,7 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+
     main()
+    os._exit(0)  # axon-tunnel processes hang at normal exit

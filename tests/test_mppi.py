@@ -100,6 +100,30 @@ def test_elite_fraction_and_validation():
         solve_mppi(sys_, jnp.zeros(2), jnp.zeros((5, 3)), jax.random.key(0))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_mppi_batch_shards_over_mesh():
+    # A batch of MPPI solves sharded over the mesh must match the local vmap
+    # bit-for-bit (no collectives in the program — pure data parallelism).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ilqr_tpu.parallel.mesh import make_mesh
+
+    sys_ = _pendulum()
+    cfg = MppiConfig(samples=64, iters=3, noise_beta=0.8)
+    B = 16
+    x0s = jnp.zeros((B, 2)).at[:, 0].add(jnp.linspace(0.1, 0.8, B))
+    keys = jax.vmap(jax.random.key)(jnp.arange(B, dtype=jnp.uint32))
+    U0 = jnp.zeros((20, 1))
+
+    f = jax.jit(jax.vmap(lambda x0, k: solve_mppi(sys_, x0, U0, k, cfg).cost))
+    local = f(x0s, keys)
+
+    mesh = make_mesh({"batch": 8})
+    sh = NamedSharding(mesh, P("batch"))
+    sharded = f(jax.device_put(x0s, sh), jax.device_put(keys, sh))
+    assert jnp.allclose(jnp.asarray(sharded), local, rtol=1e-6)
+
+
 def test_mppi_mpc_swings_up_torque_limited():
     # The closed-loop sanity check: sampling MPC must swing the pendulum up
     # under a torque limit and hold it there.
