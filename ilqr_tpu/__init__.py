@@ -47,6 +47,7 @@ from ilqr_tpu.barrier import (
 )
 from ilqr_tpu.diff import solve_implicit, run_mpc_implicit, IftConfig
 from ilqr_tpu.mppi import solve_mppi, mppi_update, run_mpc_mppi, MppiConfig
+from ilqr_tpu.shooting import solve_ms, MsConfig, MsSolution, interpolate_states
 
 __version__ = "0.1.0"
 
@@ -65,4 +66,5 @@ __all__ = [
     "solve_implicit", "run_mpc_implicit", "IftConfig",
     "solve_mppi", "mppi_update", "run_mpc_mppi", "MppiConfig",
     "make_neural_residual", "fit_dynamics",
+    "solve_ms", "MsConfig", "MsSolution", "interpolate_states",
 ]

@@ -148,6 +148,58 @@ def run_mpc_batched(
     )(x0_batch)
 
 
+@f32_matmuls
+def run_mpc_ms(
+    solver_system: System,
+    plant_system: System,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig = IlqrConfig(maxiter=10),
+    ms=None,
+) -> MpcResult:
+    """Closed-loop MPC on the multiple-shooting solver (`ilqr_tpu.shooting`).
+
+    Same receding-horizon semantics as `run_mpc`, but BOTH the controls and
+    the state nodes are shift-and-hold warm starts:
+
+        U_next = concat(U[1:], U[-1:]),  X_next = concat(X[1:], X[-1:]).
+
+    The shifted plan is dynamically infeasible at the new plant state (its
+    first node is last step's prediction, not the measured x), which single
+    shooting must repair with a full nonlinear re-rollout; `solve_ms` instead
+    takes it verbatim — the mismatch is just one more defect the Gauss-Newton
+    step closes.  This is the standard shifted-primal warm start of
+    multiple-shooting MPC (e.g. acados/GNMS practice).  No reference
+    counterpart (the reference MPC shifts controls only,
+    `run_iLQR_MPC.py:137`).
+    """
+    from ilqr_tpu.ops.rollout import rollout as _rollout
+    from ilqr_tpu.shooting import MsConfig, solve_ms
+
+    if ms is None:
+        ms = MsConfig()
+    X_init, _ = _rollout(solver_system, x0, U_init)
+
+    def mpc_step(carry, _):
+        x, U_warm, X_warm = carry
+        sol = solve_ms(solver_system, x, U_warm, X_init=X_warm, config=config,
+                       ms=ms)
+        u0 = sol.U[0]
+        x_next = step(plant_system, x, u0)
+        U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
+        X_next = jnp.concatenate([sol.X[1:], sol.X[-1:]], axis=0)
+        c = plant_system.stage_cost(plant_system.params, x, u0)
+        return (x_next, U_next, X_next), (x, u0, c, sol.iterations, sol.status)
+
+    (x_N, _, _), (X_head, U, cs, iters, status) = jax.lax.scan(
+        mpc_step, (x0, U_init, X_init), None, length=n_sim
+    )
+    cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
+    X = jnp.concatenate([X_head, x_N[None]], axis=0)
+    return MpcResult(X=X, U=U, cost=cost, solve_iters=iters, solve_status=status)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ConstrainedMpcResult:

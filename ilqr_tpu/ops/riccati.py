@@ -56,7 +56,7 @@ def _noise_q_terms(V_xx, C, C_x, C_u):
 @f32_matmuls
 def backward_pass(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None,
-    noise=None,
+    noise=None, defects=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the Riccati recursion.
 
@@ -70,6 +70,13 @@ def backward_pass(
     `ilqr_tpu.ilqg`), adds the iLQG noise-covariance terms; also sequential,
     they couple to the running V_xx.
 
+    With ``defects`` (an (N, n_x) array of multiple-shooting gap residuals
+    d_k = f(x_k, u_k) − x_{k+1}, see `ilqr_tpu.shooting`), the local dynamics
+    become affine, δx⁺ = f_x δx + f_u δu + d, which only shifts the linear
+    Q-terms: V_x is replaced by V_x + V_xx·d in Q_x and Q_u (GNMS backward
+    pass — Giftthaler et al. 2018).  ``defects=None`` (or zeros) reproduces
+    the plain recursion.
+
     Returns:
         u_ff: (N, n_u) feedforward controls
         K:    (N, n_u, n_x) feedback gains
@@ -82,12 +89,14 @@ def backward_pass(
 
     def body(carry, inp):
         V_x, V_xx = carry
-        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu), h, nz = inp
+        (f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu), h, nz, d = inp
 
-        # Q-expansion (`iLQR_class.py:100-104`).
+        # Q-expansion (`iLQR_class.py:100-104`).  With a shooting gap d the
+        # constant term of the affine dynamics folds into the linear terms.
+        W = V_x if d is None else V_x + V_xx @ d
         fuT_Vxx = f_u.T @ V_xx
-        Q_x = l_x + f_x.T @ V_x
-        Q_u = l_u + f_u.T @ V_x
+        Q_x = l_x + f_x.T @ W
+        Q_u = l_u + f_u.T @ W
         Q_xx = l_xx + f_x.T @ V_xx @ f_x
         Q_ux = l_ux + fuT_Vxx @ f_x
         Q_uu = l_uu + fuT_Vxx @ f_u
@@ -121,7 +130,8 @@ def backward_pass(
     init = (exp.v_x, exp.v_xx)
     xs = ((exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu),
           None if hess is None else (hess.f_xx, hess.f_ux, hess.f_uu),
-          None if noise is None else tuple(noise))
+          None if noise is None else tuple(noise),
+          defects)
     # Unrolled to amortize TPU per-step dispatch overhead (see rollout.py;
     # unroll=1 off-TPU to keep reverse-mode compile times sane).
     (_, _), (u_ff, K, dVs) = jax.lax.scan(body, init, xs, reverse=True,

@@ -1,0 +1,137 @@
+"""Gauss-Newton multiple shooting (ilqr_tpu.shooting)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ilqr_tpu as it
+from ilqr_tpu.ops.linearize import linearize_trajectory
+from ilqr_tpu.ops.riccati import backward_pass
+from ilqr_tpu.ops.rollout import rollout
+from ilqr_tpu.shooting import interpolate_states, solve_ms, MsConfig
+
+
+def _pendulum():
+    # The reference pendulum open-loop config (run_iLQR_open_loop.py:16-43);
+    # golden converged cost 23.435774 (tests/golden, produced from the
+    # reference implementation).
+    return it.make_pendulum(
+        0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+        Q_f=jnp.zeros((2, 2)), d=0.0, integrator="backward_euler",
+    )
+
+
+GOLDEN_COST = 23.435774
+
+
+def test_defect_backward_pass_reduces_to_plain_at_zero_defect():
+    sys_ = _pendulum()
+    U = 0.3 * jnp.sin(jnp.linspace(0, 4, 50))[:, None]
+    X, _ = rollout(sys_, jnp.array([1.0, 0.0]), U)
+    exp = linearize_trajectory(sys_, X, U)
+    u_ff0, K0, dV0, ok0 = backward_pass(exp, 0.0)
+    u_ff1, K1, dV1, ok1 = backward_pass(exp, 0.0, defects=jnp.zeros((50, 2)))
+    assert jnp.allclose(u_ff0, u_ff1) and jnp.allclose(K0, K1)
+    assert jnp.allclose(dV0, dV1) and bool(ok0) and bool(ok1)
+
+
+def test_feasible_init_matches_single_shooting_golden():
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=100, tol=1e-5)
+    sol = solve_ms(sys_, jnp.array([1.0, 0.0]), jnp.zeros((400, 1)), config=cfg)
+    assert int(sol.status) == it.CONVERGED
+    assert abs(float(sol.cost) - GOLDEN_COST) < 1e-3
+    assert float(sol.defect) < 1e-5
+    # The returned nodes are a genuine trajectory: re-rolling out U from x0
+    # reproduces X.
+    X_roll, cost_roll = rollout(sys_, jnp.array([1.0, 0.0]), sol.U)
+    assert jnp.max(jnp.abs(X_roll - sol.X)) < 1e-4
+    assert abs(float(cost_roll) - float(sol.cost)) < 1e-3
+
+
+def test_gap_closing_from_infeasible_node_pair():
+    # X from the converged solution, U all zeros: a maximally inconsistent
+    # (X, U) pair whose X is already optimal.  MS must close the gaps and
+    # recover the optimum in a few iterations.
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=100, tol=1e-5)
+    x0 = jnp.array([1.0, 0.0])
+    sol_ss = it.solve(sys_, x0, jnp.zeros((400, 1)), cfg)
+    sol = solve_ms(sys_, x0, jnp.zeros((400, 1)), X_init=sol_ss.X, config=cfg)
+    assert int(sol.status) == it.CONVERGED
+    assert int(sol.iterations) <= 6
+    assert abs(float(sol.cost) - GOLDEN_COST) < 1e-3
+    assert float(sol.defect) < 1e-5
+
+
+def test_straight_line_init_converges_feasibly():
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=100, tol=1e-5)
+    x0 = jnp.array([1.0, 0.0])
+    X0 = interpolate_states(x0, jnp.array([jnp.pi, 0.0]), 400)
+    sol = solve_ms(sys_, x0, jnp.zeros((400, 1)), X_init=X0, config=cfg)
+    assert int(sol.status) == it.CONVERGED
+    assert float(sol.defect) < 1e-4
+    # Feasibility: re-rolling out U reproduces the cost.  (Pointwise state
+    # agreement is NOT asserted — f32 per-step gaps of ~1e-7 compound through
+    # the open-loop-unstable dynamics over 400 steps.)
+    X_roll, cost_roll = rollout(sys_, x0, sol.U)
+    assert abs(float(cost_roll) - float(sol.cost)) < 1e-2 * float(sol.cost)
+    assert jnp.isfinite(sol.cost)
+
+
+def test_vmap_and_jit_compose():
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=60, tol=1e-5)
+    U0 = jnp.zeros((100, 1))
+    x0s = jnp.zeros((4, 2)).at[:, 0].add(jnp.linspace(0.5, 1.2, 4))
+    f = jax.jit(jax.vmap(lambda x: solve_ms(sys_, x, U0, config=cfg).cost))
+    costs = f(x0s)
+    assert costs.shape == (4,) and bool(jnp.all(jnp.isfinite(costs)))
+    # Harder swing-ups cost more (monotone in initial displacement here).
+    assert bool(jnp.all(jnp.diff(costs) > 0))
+
+
+def test_mpc_ms_swings_up_under_model_mismatch():
+    # Multiple-shooting MPC with shifted-primal (X and U) warm starts must
+    # swing the pendulum up under solver/plant integrator mismatch, matching
+    # the single-shooting MPC closed loop.
+    from ilqr_tpu.mpc import run_mpc, run_mpc_ms
+
+    solver_sys = it.make_pendulum(
+        0.02, [jnp.pi, 0.0], Q=jnp.diag(jnp.array([5.0, 0.1])),
+        R=0.5 * jnp.eye(1), Q_f=jnp.diag(jnp.array([100.0, 10.0])),
+        d=0.0, integrator="backward_euler",
+    )
+    plant_sys = solver_sys.with_integrator("midpoint")
+    cfg = it.IlqrConfig(maxiter=6, tol=1e-6)
+    x0, U0, n_sim = jnp.zeros(2), jnp.zeros((50, 1)), 150
+
+    res_ms = run_mpc_ms(solver_sys, plant_sys, x0, U0, n_sim, cfg)
+    assert abs(float(res_ms.X[-1, 0]) - jnp.pi) < 0.05
+    assert abs(float(res_ms.X[-1, 1])) < 0.1
+
+    res_ss = run_mpc(solver_sys, plant_sys, x0, U0, n_sim, cfg)
+    assert abs(float(res_ms.cost) - float(res_ss.cost)) < 0.05 * float(res_ss.cost)
+
+
+def test_validation_errors():
+    sys_ = _pendulum()
+    with pytest.raises(ValueError):
+        solve_ms(sys_, jnp.zeros(2), jnp.zeros((10, 3)))
+    with pytest.raises(ValueError):
+        solve_ms(sys_, jnp.zeros(3), jnp.zeros((10, 1)))
+    with pytest.raises(ValueError):
+        solve_ms(sys_, jnp.zeros(2), jnp.zeros((10, 1)),
+                 X_init=jnp.zeros((5, 2)))
+
+
+def test_traces_and_config():
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=40, tol=1e-5)
+    sol = solve_ms(sys_, jnp.array([1.0, 0.0]), jnp.zeros((200, 1)),
+                   config=cfg, ms=MsConfig(dtol=1e-4))
+    k = int(sol.iterations)
+    assert sol.cost_trace.shape == (40,)
+    # Defect trace is finite where iterations happened (accepted steps).
+    assert bool(jnp.isfinite(sol.cost_trace[: max(k - 1, 1)]).any())
+    assert bool(jnp.all(jnp.isnan(sol.cost_trace[k:])))
