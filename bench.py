@@ -134,6 +134,23 @@ def main():
     log(metric="initial_rollout_sequential_ms", value=t_ro_seq * 1e3, N=N_ls)
     log(metric="initial_rollout_defect_ms", value=t_ro_def * 1e3, N=N_ls)
 
+    # --- Secondary: long-horizon multiple-shooting solve (every stage
+    # parallel-in-time: fused backward + affine update + defect init). ---
+    from ilqr_tpu.shooting import MsConfig, solve_ms
+
+    N_ms = 100_000
+    sys_p = it.make_pendulum(
+        0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+        Q_f=jnp.zeros((2, 2)), d=0.0, integrator="rk4",
+    )
+    cfg_ms = it.IlqrConfig(maxiter=60, tol=1e-5, backward="pallas",
+                           init_rollout="defect")
+    ms_fn = jax.jit(lambda x: solve_ms(
+        sys_p, x, jnp.zeros((N_ms, 1)), config=cfg_ms,
+        ms=MsConfig(update_engine="pallas")).cost)
+    t_ms = timeit(ms_fn, jnp.array([1.0, 0.0]), reps=3)
+    log(metric="multiple_shooting_solve_100k_ms", value=t_ms * 1e3, N=N_ms)
+
     # --- Secondary: batched solves/s (BASELINE config 4 throughput). ---
     B, N_b = 1024, 128
     x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))

@@ -81,6 +81,22 @@ def main(N: int = 100_000):
     print(f"10-iteration solve (sequential line search): {t_seq:.2f}s  "
           f"cost={float(sol_seq.cost):.4f} iters={int(sol_seq.iterations)}")
 
+    # Multiple shooting: the line search needs NO nonlinear rollout at all
+    # (affine update pass + vmapped defect evaluation), so every stage of
+    # every iteration is O(log N) depth — at this horizon it is the fastest
+    # way to a converged trajectory by a wide margin (ilqr_tpu.shooting).
+    from ilqr_tpu.shooting import MsConfig, solve_ms
+
+    cfg_ms = it.IlqrConfig(maxiter=30, tol=1e-6, backward="pallas",
+                           init_rollout="defect")
+    ms = jax.jit(lambda x, U: solve_ms(sys_, x, U, config=cfg_ms,
+                                       ms=MsConfig(update_engine="auto")))
+    warmup(ms, x0, U0)
+    t_ms, sol_ms = timed(ms, x0, U0, reps=1)
+    print(f"multiple-shooting solve (all stages O(log N)): {t_ms:.2f}s  "
+          f"cost={float(sol_ms.cost):.4f} iters={int(sol_ms.iterations)} "
+          f"defect={float(sol_ms.defect):.1e}")
+
 
 if __name__ == "__main__":
     main(int(os.environ.get("N_HORIZON", 100_000)))

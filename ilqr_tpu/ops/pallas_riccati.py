@@ -650,9 +650,12 @@ def _exp_rows(row_fn, n_x: int, n_u: int):
     return f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu
 
 
-def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int):
+def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int,
+                       defects=None):
     """(Fe, 8, n_blocks·l_blk) packed expansion; column N carries the terminal
-    (v_x in the l_x rows, v_xx in the l_xx rows), padding columns are zero."""
+    (v_x in the l_x rows, v_xx in the l_xx rows), padding columns are zero.
+    With ``defects`` (GNMS gaps, (N, n_x)), n_x extra rows are appended after
+    l_uu (zero terminal column)."""
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
     n_pad = n_blocks * 8 * l_blk
@@ -671,6 +674,9 @@ def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int):
         rows_of(exp.l_xx, n_x * n_x), rows_of(exp.l_ux, n_u * n_x),
         rows_of(exp.l_uu, n_u * n_u),
     ]
+    if defects is not None:
+        term_cols.append(jnp.zeros((n_x,)))
+        stage_rows.append(defects.T)
     rows = jnp.concatenate(
         [jnp.concatenate([s, t[:, None].astype(s.dtype)], axis=1)
          for s, t in zip(stage_rows, term_cols)], axis=0
@@ -688,6 +694,7 @@ def pack_expansion_sub(exp: TrajectoryExpansion, n_blocks: int, l_blk: int):
 
 
 def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
+                  with_defects: bool,
                   reg_ref, in_ref, out_ref, elem_ref, scratch_ref,
                   bound_ref):
     from jax.experimental.pallas import tpu as pltpu
@@ -712,6 +719,11 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
     # --- 1. Elements from the expansion (dense; masked per position). ---
     f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = _exp_rows(
         lambda i: in_ref[i, :, :], n_x, n_u)
+    # GNMS defect rows live after the expansion fields (pack_expansion_sub);
+    # padding/terminal columns are zero so no extra masking is needed.
+    d_off = 2 * nn + n_x * n_u + n_x + n_u + n_u * n_x + n_u * n_u
+    d_rows = ([in_ref[d_off + i, :, :] for i in range(n_x)]
+              if with_defects else None)
     R = [[l_uu[i][j] + (reg if i == j else 0.0) for j in range(n_u)]
          for i in range(n_u)]
     Ri = _minv(R)
@@ -721,6 +733,8 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
     fuRiM = _mmul(f_u, RiM)
     A_l = [[f_x[i][j] - fuRiM[i][j] for j in range(n_x)] for i in range(n_x)]
     b_l = [-v for v in _mvec(f_u, Rir)]
+    if with_defects:
+        b_l = [b_l[i] + d_rows[i] for i in range(n_x)]
     C_l = _msym(_mmul(f_u, RiBt))
     MtRiM = _mmul(_mT(l_ux), RiM)
     J_l = _msym([[l_xx[i][j] - MtRiM[i][j] for j in range(n_x)]
@@ -772,8 +786,12 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
     # --- 5. Boundary carry update for the next (left) block. ---
     _update_carry(n_x, n_blocks, step, elem_ref, bound_ref)
 
-    # --- 6. Gains: Q-expansion at k against V(k+1) = (J_n, −eta_n). ---
+    # --- 6. Gains: Q-expansion at k against V(k+1) = (J_n, −eta_n).  With
+    # GNMS defects the linear term shifts: W = V_x(k+1) + V_xx(k+1)·d_k. ---
     v_x = [-e for e in eta_n]
+    if with_defects:
+        Jd = _mvec(J_n, d_rows)
+        v_x = [v_x[i] + Jd[i] for i in range(n_x)]
     fuT = _mT(f_u)                                  # (n_u, n_x)
     fuT_Vxx = _mmul(fuT, J_n)                       # (n_u, n_x)
     Q_u = _vadd(l_u, _mvec(fuT, v_x))               # (n_u,)
@@ -802,9 +820,11 @@ def _fused_kernel(n_x: int, n_u: int, l_blk: int, M: int, n_blocks: int,
         out_ref[idx, :, :] = jnp.where(is_leaf, r, zero)
 
 
-@functools.partial(jax.jit, static_argnames=("n_x", "n_u", "M", "l_blk", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "n_x", "n_u", "M", "l_blk", "with_defects", "interpret"))
 def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
-                           l_blk: int, interpret: bool = False):
+                           l_blk: int, with_defects: bool = False,
+                           interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -812,7 +832,8 @@ def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
     n_blocks = n_lanes // l_blk
     F = _num_fields(n_x)
     Fo = n_u + n_u * n_x + 2
-    kernel = functools.partial(_fused_kernel, n_x, n_u, l_blk, M, n_blocks)
+    kernel = functools.partial(_fused_kernel, n_x, n_u, l_blk, M, n_blocks,
+                               with_defects)
     rev = lambda i: (0, 0, n_blocks - 1 - i)
     n_sweeps = (8 * l_blk - 1).bit_length() + 2
     return pl.pallas_call(
@@ -841,24 +862,27 @@ def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
 @f32_matmuls
 def backward_pass_pallas_fused(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
-    interpret: bool = False,
+    interpret: bool = False, defects=None,
 ):
     """Fully fused Pallas backward pass; same contract as
-    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 4, n_u ≤ 4)."""
+    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 4, n_u ≤ 4), incl. the GNMS
+    ``defects`` variant (`ilqr_tpu.shooting`)."""
     from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
     if n_x > 4 or n_u > 4:
-        return backward_pass_associative(exp, reg)
+        return backward_pass_associative(exp, reg, defects=defects)
     M = N + 1
     l_blk, n_blocks = _sub_blocking(M)
     n_steps = n_blocks * 8 * l_blk
 
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
-    packed = pack_expansion_sub(exp, n_blocks, l_blk)
+    packed = pack_expansion_sub(exp, n_blocks, l_blk, defects=defects)
     out = _fused_backward_packed(packed, reg, n_x=n_x, n_u=n_u, M=M,
-                                 l_blk=l_blk, interpret=interpret)
+                                 l_blk=l_blk,
+                                 with_defects=defects is not None,
+                                 interpret=interpret)
     Fo = out.shape[0]
     flat = (
         out.reshape(Fo, 8, n_blocks, l_blk)
@@ -875,15 +899,18 @@ def backward_pass_pallas_fused(
 @f32_matmuls
 def backward_pass_pallas(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
-    interpret: bool = False, layout: str = "sub",
+    interpret: bool = False, layout: str = "sub", defects=None,
 ):
     """Backward pass using the fused Pallas suffix scan; same contract as
-    `ilqr_tpu.ops.riccati.backward_pass`."""
+    `ilqr_tpu.ops.riccati.backward_pass` (incl. the GNMS ``defects``
+    variant — see `parallel_riccati.backward_pass_associative`)."""
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
-    elems = make_elements(exp, reg)
+    elems = make_elements(exp, reg, defects=defects)
     suffix = suffix_scan_pallas(elems, interpret=interpret, layout=layout)
     V_x = -suffix.eta[1:]
     V_xx = suffix.J[1:]
+    if defects is not None:
+        V_x = V_x + (V_xx @ defects[..., None])[..., 0]
     u_ff, K, dVs = gains_from_value(exp, V_x, V_xx, reg)
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))

@@ -62,12 +62,17 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
-def make_elements(exp: TrajectoryExpansion, reg) -> RiccatiElement:
-    """Build the N+1 stacked scan elements (N stage leaves + terminal)."""
+def make_elements(exp: TrajectoryExpansion, reg, defects=None) -> RiccatiElement:
+    """Build the N+1 stacked scan elements (N stage leaves + terminal).
+
+    ``defects`` ((N, n_x) multiple-shooting gaps, `ilqr_tpu.shooting`) turn
+    the local dynamics affine, δx⁺ = A δx + B δu + d — which lands exactly in
+    the element's affine offset: b ← b + d.  Everything else is unchanged.
+    """
     n_u = exp.l_u.shape[-1]
     eye_u = jnp.eye(n_u, dtype=exp.l_u.dtype)
 
-    def leaf(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu):
+    def leaf(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, d):
         R = l_uu + reg * eye_u
         # One factorization for all three R-solves.
         rhs = jnp.concatenate([l_ux, f_u.T, l_u[:, None]], axis=1)
@@ -75,13 +80,20 @@ def make_elements(exp: TrajectoryExpansion, reg) -> RiccatiElement:
         Rinv_M, Rinv_Bt, Rinv_r = sol[:, : l_ux.shape[1]], sol[:, l_ux.shape[1]:-1], sol[:, -1]
         A = f_x - f_u @ Rinv_M
         b = -f_u @ Rinv_r
+        if d is not None:
+            b = b + d
         C = _sym(f_u @ Rinv_Bt)
         J = _sym(l_xx - l_ux.T @ Rinv_M)
         eta = -(l_x - l_ux.T @ Rinv_r)
         return RiccatiElement(A, b, C, eta, J)
 
-    leaves = jax.vmap(leaf)(
-        exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu
+    leaves = jax.vmap(
+        lambda f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu: leaf(
+            f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, None)
+    )(exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu
+      ) if defects is None else jax.vmap(leaf)(
+        exp.f_x, exp.f_u, exp.l_x, exp.l_u, exp.l_xx, exp.l_ux, exp.l_uu,
+        defects,
     )
 
     n_x = exp.v_x.shape[0]
@@ -162,15 +174,24 @@ def gains_from_value(exp: TrajectoryExpansion, V_x, V_xx, reg):
 
 @f32_matmuls
 def backward_pass_associative(
-    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, defects=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for `ilqr_tpu.ops.riccati.backward_pass`."""
+    """Drop-in replacement for `ilqr_tpu.ops.riccati.backward_pass`.
+
+    ``defects`` gives the GNMS multiple-shooting variant
+    (`ilqr_tpu.shooting`): the gaps enter the elements' affine offsets and
+    shift the gains' linear Q-terms (V_x → V_x + V_xx·d), matching the
+    sequential `backward_pass(defects=…)` to fp accuracy while keeping
+    O(log N) depth.
+    """
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
-    elems = make_elements(exp, reg)
+    elems = make_elements(exp, reg, defects=defects)
     suffix = suffix_scan(elems)
     # Cost-to-go at k+1 drives the gains at k.
     V_x = -suffix.eta[1:]
     V_xx = suffix.J[1:]
+    if defects is not None:
+        V_x = V_x + (V_xx @ defects[..., None])[..., 0]
     u_ff, K, dVs = gains_from_value(exp, V_x, V_xx, reg)
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))

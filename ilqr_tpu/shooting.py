@@ -69,12 +69,26 @@ class MsConfig:
     estimating them, a failed line search escalates ν and retries (consuming
     an iteration), up to nu_max.
     dtol: max-norm defect feasibility tolerance required for convergence.
+    update_engine: how the multi-α affine update pass runs — 'seq' (vmapped
+    sequential scan), 'xla' (O(log N) associative prefix scan), 'pallas'
+    (fused multi-candidate TPU kernel, `ops/pallas_affine.py`), 'auto'
+    (pallas on TPU for n_x ≤ 8, seq elsewhere).  All three compute the SAME
+    affine recursion — unlike single shooting there is no nonlinear rollout
+    to approximate, so the parallel engines are exact, not defect-certified.
     """
 
     nu0: float = 10.0
     nu_factor: float = 10.0
     nu_max: float = 1e8
     dtol: float = 1e-4
+    update_engine: str = "auto"
+
+    def __post_init__(self):
+        if self.update_engine not in ("auto", "seq", "xla", "pallas"):
+            raise ValueError(
+                f"update_engine must be 'auto'|'seq'|'xla'|'pallas', "
+                f"got {self.update_engine!r}"
+            )
 
 
 @jax.tree_util.register_dataclass
@@ -134,6 +148,63 @@ def _update_pass(alpha, exp, d, u_ff, K):
 
 
 @f32_matmuls
+def _update_pass_multi(alphas, exp, d, u_ff, K, engine: str):
+    """All line-search candidates' affine updates at once.
+
+    Substituting δu = α·u_ff + K δx gives the closed-loop affine recursion
+    δx⁺ = (f_x + f_u K) δx + α·(f_u u_ff + d): one transition chain shared by
+    every α with per-candidate drive vectors — exactly the shape of
+    `ops.pallas_affine.affine_prefix_scan_multi` (O(log N) depth).  EXACT for
+    every engine (the update pass is affine; nothing to certify).
+    Returns (δX (A, N+1, n_x), δU (A, N, n_u)).
+    """
+    if engine == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        engine = "pallas" if (on_tpu and d.shape[-1] <= 8) else "seq"
+    if engine == "seq":
+        return jax.vmap(lambda a: _update_pass(a, exp, d, u_ff, K))(alphas)
+
+    from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
+
+    A = alphas.shape[0]
+    n_x = d.shape[-1]
+    P = exp.f_x + exp.f_u @ K                              # (N, n_x, n_x)
+    base = (exp.f_u @ u_ff[..., None])[..., 0] + d         # (N, n_x)
+    q = alphas[:, None, None] * base[None]                 # (A, N, n_x)
+    dX = affine_prefix_scan_multi(
+        P, q, jnp.zeros((A, n_x), d.dtype), engine=engine)  # (A, N+1, n_x)
+    dU = (alphas[:, None, None] * u_ff[None]
+          + (K[None] @ dX[:, :-1, :, None])[..., 0])        # (A, N, n_u)
+    return dX, dU
+
+
+def _backward_ms(exp, d, reg, config: IlqrConfig):
+    """Defect-aware backward pass honoring `config.backward` (mirrors
+    `solver._backward`): 'scan' sequential, 'pscan' associative O(log N),
+    'pallas' fused TPU kernel — all support the GNMS defects."""
+    backward = config.backward
+    if backward == "auto":
+        n_x = exp.v_x.shape[-1]
+        N = exp.l_u.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        backward = "pallas" if (on_tpu and n_x <= 4 and N >= 256) else "scan"
+    if backward == "pscan":
+        from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
+
+        return backward_pass_associative(exp, reg, defects=d)
+    if backward == "pallas":
+        n_u = exp.l_u.shape[-1]
+        if n_u <= 4:
+            from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
+
+            return backward_pass_pallas_fused(exp, reg, defects=d)
+        from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
+
+        return backward_pass_pallas(exp, reg, defects=d)
+    return backward_pass(exp, reg, defects=d)
+
+
+@f32_matmuls
 def solve_ms(
     system: System,
     x0: jnp.ndarray,
@@ -158,9 +229,35 @@ def solve_ms(
     N, n_u = U_init.shape
     n_x = x0.shape[0]
     if X_init is None:
-        from ilqr_tpu.ops.rollout import rollout
+        # Default state warm start: the rollout of U_init (iteration 1 then
+        # matches single shooting, d ≡ 0).  config.init_rollout='defect'
+        # builds it with the O(log N) parallel-in-time Newton sweeps instead
+        # of the O(N) sequential chain — at long horizons the sequential
+        # initial rollout dominates the whole MS solve (measured N=100k
+        # pendulum: ~6 s rollout vs ~10 ms per MS iteration).  Unlike in
+        # `solve`, an unconverged defect rollout needs no fallback: the
+        # residual gaps are exactly what the MS iteration closes anyway, so
+        # the certificate only seeds cost0/merit bookkeeping.
+        if config.init_rollout == "defect":
+            from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
-        X_init, _ = rollout(system, x0, U_init)
+            X_p, _, _ = open_loop_defect_rollout(
+                system, x0, U_init,
+                iters=config.defect_iters, engine=config.defect_engine)
+            # Unlike `solve`, an UNCONVERGED defect rollout needs no exact
+            # fallback — residual gaps are what the MS iteration closes.
+            # Only divergence to non-finite values must be excluded: fall
+            # back to the constant-x0 trajectory (maximally infeasible but
+            # finite), still never paying the O(N) sequential chain.
+            X_init = jnp.where(
+                jnp.all(jnp.isfinite(X_p)),
+                X_p,
+                jnp.broadcast_to(x0, (N + 1,) + x0.shape),
+            )
+        else:
+            from ilqr_tpu.ops.rollout import rollout
+
+            X_init, _ = rollout(system, x0, U_init)
     if X_init.shape != (N + 1, n_x):
         raise ValueError(
             f"X_init must have shape ({N + 1}, {n_x}), got {X_init.shape}"
@@ -201,16 +298,18 @@ def solve_ms(
 
         def iterate(s):
             exp = linearize_trajectory(system, s["X"], s["U"])
-            u_ff, K, _, bp_ok = backward_pass(exp, s["reg"], defects=d)
+            u_ff, K, _, bp_ok = _backward_ms(exp, d, s["reg"], config)
 
-            def candidate(a):
-                dX, dU = _update_pass(a, exp, d, u_ff, K)
+            dXs, dUs = _update_pass_multi(alphas, exp, d, u_ff, K,
+                                          ms.update_engine)
+
+            def score(dX, dU):
                 X_c, U_c = s["X"] + dX, s["U"] + dU
                 c = _node_cost(system, X_c, U_c)
                 dn = jnp.sum(jnp.abs(_node_defects(system, X_c, U_c)))
                 return X_c, U_c, c, c + s["nu"] * dn
 
-            X_cs, U_cs, costs, merits = jax.vmap(candidate)(alphas)
+            X_cs, U_cs, costs, merits = jax.vmap(score)(dXs, dUs)
             accept = (merits <= merit) & jnp.isfinite(merits) & bp_ok
             any_accept = jnp.any(accept)
             idx = jnp.argmax(accept)  # first improving α, schedule order

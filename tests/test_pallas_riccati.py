@@ -77,6 +77,20 @@ def test_fused_backward_matches_sequential():
         np.testing.assert_allclose(dV_f, dV_s, rtol=2e-3, atol=2e-3)
 
 
+def test_fused_backward_matches_sequential_with_defects():
+    """GNMS defects (ilqr_tpu.shooting) through the fused kernel: extra
+    packed rows shift the element offsets b and the gains' linear Q-terms."""
+    exp = _pendulum_expansion(N=96)
+    d = 0.3 * jax.random.normal(jax.random.key(7), (96, 2))
+    u_s, K_s, dV_s, _ = backward_pass(exp, 0.0, defects=d)
+    u_f, K_f, dV_f, ok = backward_pass_pallas_fused(
+        exp, 0.0, defects=d, interpret=True)
+    assert bool(ok)
+    np.testing.assert_allclose(u_f, u_s, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(K_f, K_s, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(dV_f, dV_s, rtol=2e-3, atol=2e-3)
+
+
 def test_fused_backward_under_vmap():
     """vmap prepends a grid axis to pallas_call; the kernel takes its block
     position from an SMEM operand (not program_id) so the closure carry

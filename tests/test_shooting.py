@@ -34,6 +34,64 @@ def test_defect_backward_pass_reduces_to_plain_at_zero_defect():
     assert jnp.allclose(dV0, dV1) and bool(ok0) and bool(ok1)
 
 
+def test_defect_backward_pscan_matches_sequential():
+    # The associative-scan backward pass with defects (gaps enter the
+    # elements' affine offsets b; gains shift by V_xx·d) must match the
+    # sequential defect-aware recursion.
+    from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
+
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                            Q_f=10 * jnp.eye(2), d=0.1, integrator="rk4")
+    N = 61
+    U = 0.5 * jax.random.normal(jax.random.key(0), (N, 1))
+    X = jax.random.normal(jax.random.key(1), (N + 1, 2))
+    d = 0.3 * jax.random.normal(jax.random.key(2), (N, 2))
+    exp = linearize_trajectory(sys_, X, U)
+    uff_s, K_s, dV_s, _ = backward_pass(exp, 0.0, defects=d)
+    uff_p, K_p, dV_p, ok = backward_pass_associative(exp, 0.0, defects=d)
+    assert bool(ok)
+    assert jnp.max(jnp.abs(uff_s - uff_p)) < 1e-4
+    assert jnp.max(jnp.abs(K_s - K_p)) < 1e-4
+    assert jnp.max(jnp.abs(dV_s - dV_p)) < 1e-3
+
+
+def test_update_pass_engines_agree():
+    # The affine update pass is exact under every engine: vmapped sequential
+    # scan vs O(log N) associative prefix scan must agree to fp accuracy.
+    from ilqr_tpu.shooting import _update_pass_multi
+
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                            Q_f=10 * jnp.eye(2), d=0.1, integrator="rk4")
+    N = 61
+    U = 0.5 * jax.random.normal(jax.random.key(0), (N, 1))
+    X = jax.random.normal(jax.random.key(1), (N + 1, 2))
+    d = 0.3 * jax.random.normal(jax.random.key(2), (N, 2))
+    exp = linearize_trajectory(sys_, X, U)
+    u_ff, K, _, _ = backward_pass(exp, 0.0, defects=d)
+    alphas = jnp.asarray([1.0, 0.5, 0.25])
+    dX1, dU1 = _update_pass_multi(alphas, exp, d, u_ff, K, "seq")
+    dX2, dU2 = _update_pass_multi(alphas, exp, d, u_ff, K, "xla")
+    assert jnp.max(jnp.abs(dX1 - dX2)) < 1e-4
+    assert jnp.max(jnp.abs(dU1 - dU2)) < 1e-4
+
+
+def test_solve_ms_parallel_backends_match_golden():
+    # Fully parallel-in-time MS iteration (pscan backward + xla update pass)
+    # must reproduce the golden solve.
+    sys_ = _pendulum()
+    cfg = it.IlqrConfig(maxiter=100, tol=1e-5, backward="pscan")
+    sol = solve_ms(sys_, jnp.array([1.0, 0.0]), jnp.zeros((400, 1)),
+                   config=cfg, ms=MsConfig(update_engine="xla"))
+    assert int(sol.status) == it.CONVERGED
+    assert abs(float(sol.cost) - GOLDEN_COST) < 1e-3
+    assert float(sol.defect) < 1e-5
+
+
+def test_ms_config_validation():
+    with pytest.raises(ValueError):
+        MsConfig(update_engine="gpu")
+
+
 def test_feasible_init_matches_single_shooting_golden():
     sys_ = _pendulum()
     cfg = it.IlqrConfig(maxiter=100, tol=1e-5)
