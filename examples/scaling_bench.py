@@ -63,6 +63,27 @@ def main(N: int = 10_240):
               f"{N / td:,.0f} timesteps/s  efficiency vs D=2: {eff:.1%}")
         d *= 2
 
+    # Whole-solve scaling: fully horizon-sharded multiple shooting (the
+    # iteration is one distributed suffix scan + one distributed prefix scan
+    # + vmapped local work; communication independent of N).
+    from ilqr_tpu.parallel.horizon_solve import solve_ms_horizon_sharded
+
+    cfg = it.IlqrConfig(maxiter=30, tol=1e-5)
+    d = 2
+    base = None
+    while d <= len(devs):
+        mesh = make_mesh({"time": d}, devices=devs[:d])
+        ms = jax.jit(lambda x, u: solve_ms_horizon_sharded(
+            sys_, x, u, cfg, mesh)[2])
+        warmup(ms, jnp.zeros(4), U)
+        td, _ = timed(ms, jnp.zeros(4), U, reps=3)
+        if base is None:
+            base = td * d
+        eff = base / (td * d)
+        print(f"D={d} (sharded MS solve): {td * 1e3:.2f} ms  "
+              f"efficiency vs D=2: {eff:.1%}")
+        d *= 2
+
 
 if __name__ == "__main__":
     main(int(os.environ.get("N_HORIZON", 10_240)))

@@ -53,12 +53,17 @@ def _local_suffix(elems):
     )
 
 
-def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u):
-    """Distributed Riccati suffix scan on local expansion blocks."""
+def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u, defects=None):
+    """Distributed Riccati suffix scan on local expansion blocks.
+
+    ``defects`` ((B, n_x) local multiple-shooting gaps) turn the local
+    dynamics affine: the gap lands in the element offset (b += d) and shifts
+    the gains' linear Q-terms (V_x → V_x + V_xx·d) — the GNMS backward pass
+    (`ilqr_tpu.shooting`), distributed."""
     f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = exp_blk
     eye_u = jnp.eye(n_u, dtype=l_u.dtype)
 
-    def leaf(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu):
+    def leaf(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, d):
         R = l_uu + reg * eye_u
         rhs = jnp.concatenate([l_ux, f_u.T, l_u[:, None]], axis=1)
         sol = solve_small(R, rhs)
@@ -67,6 +72,8 @@ def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u):
         Rinv_r = sol[:, -1]
         A = f_x - f_u @ Rinv_M
         b = -f_u @ Rinv_r
+        if d is not None:
+            b = b + d
         C = f_u @ Rinv_Bt
         C = 0.5 * (C + C.T)
         J = l_xx - l_ux.T @ Rinv_M
@@ -74,7 +81,12 @@ def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u):
         eta = -(l_x - l_ux.T @ Rinv_r)
         return RiccatiElement(A, b, C, eta, J)
 
-    elems = jax.vmap(leaf)(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu)
+    if defects is None:
+        elems = jax.vmap(
+            lambda *a: leaf(*a, None)
+        )(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu)
+    else:
+        elems = jax.vmap(leaf)(f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu, defects)
     term = RiccatiElement(
         A=jnp.zeros_like(v_xx), b=jnp.zeros_like(v_x),
         C=jnp.zeros_like(v_xx), eta=-v_x, J=v_xx,
@@ -101,6 +113,8 @@ def _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u):
     )
     V_x = -suffix_next.eta
     V_xx = suffix_next.J
+    if defects is not None:
+        V_x = V_x + (V_xx @ defects[..., None])[..., 0]
 
     def gains(f_x, f_u, l_u, l_ux, l_uu, vx, vxx):
         fuT_Vxx = f_u.T @ vxx
@@ -155,6 +169,147 @@ def _dist_affine_prefix(axis, D, A, d, delta0):
         full = comp(full, blk)
     delta_N = (full[0] @ delta0[..., None])[..., 0] + full[1]
     return deltas_at, delta_N
+
+
+def _dist_affine_prefix_multi(axis, D, A, q):
+    """Multi-candidate distributed prefix: δ_{k+1} = A_k δ_k + q_k^{(a)},
+    δ_0 = 0 globally, one SHARED transition chain for all candidates.
+
+    A: (B, n, n) local block; q: (B, nc, n) local per-candidate drives.
+    Returns (deltas_at (B, nc, n) — δ at each local stage — and
+    delta_N (nc, n), the global final δ, replicated)."""
+
+    def comp(e1, e2):
+        P1, q1 = e1
+        P2, q2 = e2
+        return P2 @ P1, jnp.einsum("...ij,...aj->...ai", P2, q1) + q2
+
+    P_loc, q_loc = jax.lax.associative_scan(comp, (A, q), axis=0)
+    tot = (P_loc[-1], q_loc[-1])                       # ((n,n), (nc,n))
+    gathered = jax.lax.all_gather(tot, axis)           # ((D,n,n), (D,nc,n))
+
+    d_idx = jax.lax.axis_index(axis)
+    n = A.shape[-1]
+    nc = q.shape[-2]
+    ident = (jnp.eye(n, dtype=A.dtype), jnp.zeros((nc, n), A.dtype))
+    left = ident
+    full = ident
+    for j in range(D):
+        blk = (gathered[0][j], gathered[1][j])
+        cand = comp(left, blk)
+        left = jax.tree_util.tree_map(
+            lambda c, l: jnp.where(j < d_idx, c, l), cand, left
+        )
+        full = comp(full, blk)
+    # δ at the start of this shard (δ_0 = 0 → pure offset part).
+    delta_start = left[1]                              # (nc, n)
+    deltas_after = jnp.einsum("bij,aj->bai", P_loc, delta_start) + q_loc
+    deltas_at = jnp.concatenate([delta_start[None], deltas_after[:-1]], axis=0)
+    return deltas_at, full[1]
+
+
+def _shift_with_halo(axis, D, X_loc, x_N):
+    """Next-stage states for each local stage: shift left within the shard,
+    halo = right neighbor's first state (x_N for the last shard)."""
+    halo = jax.lax.ppermute(
+        X_loc[0], axis, [(i, (i - 1) % D) for i in range(D)]
+    )
+    is_last = jax.lax.axis_index(axis) == D - 1
+    halo = jnp.where(is_last, x_N, halo)
+    return jnp.concatenate([X_loc[1:], halo[None]], axis=0)
+
+
+def _ms_iteration(system, config, ms, alphas, axis, D, carry):
+    """One sharded multiple-shooting iteration (runs under shard_map).
+
+    Cheaper in communication than the single-shooting `_iteration`: the
+    update pass is ONE multi-candidate distributed prefix scan (exact — the
+    MS update is affine, `ilqr_tpu.shooting`), where single shooting needs
+    `defect_iters` sweeps each with its own prefix scan and halo exchange.
+    """
+    X_loc, x_N, U_loc, cost, prev_merit, nu, k, status = carry
+    n_u = U_loc.shape[-1]
+    n_alpha = len(alphas)
+    alph = jnp.asarray(alphas, dtype=X_loc.dtype)
+
+    # --- 1. Local defects/merit (one vmapped evaluation + one halo). ---
+    F = jax.vmap(lambda x, u: step(system, x, u))(X_loc, U_loc)
+    d_loc = F - _shift_with_halo(axis, D, X_loc, x_N)
+    defect = jax.lax.pmax(jnp.max(jnp.abs(d_loc)), axis)
+    sum_d = jax.lax.psum(jnp.sum(jnp.abs(d_loc)), axis)
+    merit = cost + nu * sum_d
+
+    # --- 2. Local linearization (embarrassingly parallel). ---
+    exp_blk = jax.vmap(lambda x, u: _stage_expansion(system, x, u))(X_loc, U_loc)
+    lf = lambda xx: system.terminal_cost(system.params, xx)
+    v_x = jax.grad(lf)(x_N)
+    v_xx = jax.hessian(lf)(x_N)
+
+    # --- 3. Distributed defect-aware backward pass. ---
+    reg = jnp.asarray(0.0, X_loc.dtype)
+    u_ff, K = _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u,
+                                defects=d_loc)
+
+    # --- 4. Multi-candidate affine update pass (exact, one prefix scan). ---
+    f_x, f_u = exp_blk[0], exp_blk[1]
+    A_cl = f_x + f_u @ K
+    base = (f_u @ u_ff[..., None])[..., 0] + d_loc       # (B, n_x)
+    q = alph[None, :, None] * base[:, None, :]           # (B, nc, n_x)
+    deltas_at, delta_N = _dist_affine_prefix_multi(axis, D, A_cl, q)
+    X_c = X_loc[:, None] + deltas_at                     # (B, nc, n_x)
+    xN_c = x_N[None] + delta_N                           # (nc, n_x)
+    U_c = (U_loc[:, None] + alph[None, :, None] * u_ff[:, None]
+           + jnp.einsum("bij,baj->bai", K, deltas_at))   # (B, nc, n_u)
+
+    # --- 5. Candidate scoring (vmapped locals + psum). ---
+    stage = jax.vmap(jax.vmap(
+        lambda x, u: system.stage_cost(system.params, x, u)))(X_c, U_c)
+    costs = jax.lax.psum(jnp.sum(stage, axis=0), axis) + jax.vmap(lf)(xN_c)
+    F_c = jax.vmap(jax.vmap(lambda x, u: step(system, x, u)))(X_c, U_c)
+    halo_c = jax.lax.ppermute(
+        X_c[0], axis, [(i, (i - 1) % D) for i in range(D)])
+    is_last = jax.lax.axis_index(axis) == D - 1
+    halo_c = jnp.where(is_last, xN_c, halo_c)
+    X_next_c = jnp.concatenate([X_c[1:], halo_c[None]], axis=0)
+    sum_d_c = jax.lax.psum(jnp.sum(jnp.abs(F_c - X_next_c), axis=(0, 2)), axis)
+    merits = costs + nu * sum_d_c
+
+    accept = (merits <= merit) & jnp.isfinite(merits)
+    any_accept = jnp.any(accept)
+    idx = jnp.argmax(accept)
+
+    # Stationary + feasible rejection → converged (see ilqr_tpu.shooting).
+    stationary = (defect <= ms.dtol) & (jnp.min(merits) >= merit - config.tol)
+    converged_now = (k > 0) & (jnp.abs(merit - prev_merit) <= config.tol) & (
+        defect <= ms.dtol)
+
+    X_new = jnp.where(any_accept, jnp.take(X_c, idx, axis=1), X_loc)
+    xN_new = jnp.where(any_accept, xN_c[idx], x_N)
+    U_new = jnp.where(any_accept, jnp.take(U_c, idx, axis=1), U_loc)
+    cost_new = jnp.where(any_accept, costs[idx], cost)
+    merit_out = jnp.where(any_accept, merit, jnp.inf)
+    nu_new = jnp.where(any_accept, nu, jnp.minimum(nu * ms.nu_factor, ms.nu_max))
+    status_new = jnp.where(
+        converged_now,
+        CONVERGED,
+        jnp.where(
+            any_accept,
+            status,
+            jnp.where(
+                stationary,
+                CONVERGED,
+                jnp.where(nu * ms.nu_factor > ms.nu_max,
+                          LINESEARCH_FAILED, status),
+            ),
+        ),
+    )
+    keep = converged_now
+    X_new = jnp.where(keep, X_loc, X_new)
+    xN_new = jnp.where(keep, x_N, xN_new)
+    U_new = jnp.where(keep, U_loc, U_new)
+    cost_new = jnp.where(keep, cost, cost_new)
+    return (X_new, xN_new, U_new, cost_new, merit_out, nu_new,
+            k + jnp.where(keep, 0, 1), status_new)
 
 
 def _iteration(system, config, alphas, axis, D, N_local, carry):
@@ -229,6 +384,73 @@ def _iteration(system, config, alphas, axis, D, N_local, carry):
     cost_new = jnp.where(any_accept, costs[idx], cost)
     status_new = jnp.where(any_accept, status, LINESEARCH_FAILED)
     return (X_new, xN_new, U_new, cost_new, cost, k + 1, status_new)
+
+
+@f32_matmuls
+def solve_ms_horizon_sharded(
+    system: System,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    config: IlqrConfig,
+    mesh: Mesh,
+    axis: str = "time",
+    X_init: jnp.ndarray | None = None,
+    ms=None,
+):
+    """Multiple-shooting solve with every stage sharded along the horizon.
+
+    The distributed counterpart of `ilqr_tpu.shooting.solve_ms`: local
+    linearization (no communication), distributed defect-aware Riccati
+    suffix scan, and ONE multi-candidate distributed affine prefix scan for
+    the whole line search (exact — the MS update is affine), plus a
+    single-state halo per defect evaluation.  Communication per iteration is
+    O(D·(n_x² + n_alpha·n_x)) all-gathers — independent of N, and a factor
+    `defect_iters` fewer prefix scans than `solve_horizon_sharded`'s
+    sweep-based rollouts.
+
+    X_init may be any (N+1, n_x) warm start (infeasible is fine — gaps are
+    what MS closes); default is the constant-x0 trajectory: at pod scale
+    there is no reason to pay ANY global rollout.
+    Returns (X, U, cost, iterations, status) unsharded.
+    """
+    from ilqr_tpu.shooting import MsConfig, _node_cost
+
+    if ms is None:
+        ms = MsConfig()
+    D = mesh.shape[axis]
+    N = U_init.shape[0]
+    if N % D != 0:
+        raise ValueError(f"horizon N={N} not divisible by {D} shards")
+    alphas = tuple(config.alpha_schedule())
+
+    if X_init is None:
+        X_init = jnp.broadcast_to(x0, (N + 1,) + x0.shape)
+    X_init = X_init.at[0].set(x0)
+    cost0 = _node_cost(system, X_init, U_init)
+
+    body_sharded = jax.shard_map(
+        partial(_ms_iteration, system, config, ms, alphas, axis, D),
+        mesh=mesh,
+        in_specs=((P(axis), P(), P(axis), P(), P(), P(), P(), P()),),
+        out_specs=(P(axis), P(), P(axis), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def cond(carry):
+        _, _, _, _, _, _, k, status = carry
+        return (status == RUNNING) & (k < config.maxiter)
+
+    init = (X_init[:-1], X_init[-1], U_init, cost0, jnp.inf,
+            jnp.asarray(ms.nu0, dtype=cost0.dtype), jnp.asarray(0),
+            jnp.asarray(RUNNING))
+    X, xN, U, cost, merit, nu, k, status = jax.lax.while_loop(
+        cond, lambda c: body_sharded(c), init
+    )
+    status = jnp.where(
+        (status == RUNNING) & (k >= config.maxiter), MAXITER, status
+    )
+    X_full = jnp.concatenate([X, xN[None]], axis=0)
+    return X_full, U, cost, k, status
 
 
 @f32_matmuls

@@ -149,6 +149,45 @@ def test_vmap_and_jit_compose():
     assert bool(jnp.all(jnp.diff(costs) > 0))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_solve_ms_horizon_sharded_matches_unsharded():
+    # Fully horizon-sharded multiple shooting: distributed defect-aware
+    # Riccati + ONE multi-candidate distributed affine prefix per iteration.
+    # From the same constant-x0 warm start it must match the unsharded
+    # solve_ms optimum.
+    import numpy as np
+
+    from ilqr_tpu.parallel.horizon_solve import solve_ms_horizon_sharded
+    from ilqr_tpu.parallel.mesh import make_mesh
+
+    sys_ = _pendulum()
+    x0, U0 = jnp.array([1.0, 0.0]), jnp.zeros((400, 1))
+    cfg = it.IlqrConfig(maxiter=60, tol=1e-5)
+    X_c = jnp.broadcast_to(x0, (401, 2))
+    ref = solve_ms(sys_, x0, U0, X_init=X_c, config=cfg)
+    assert int(ref.status) == it.CONVERGED
+
+    mesh = make_mesh({"time": 8})
+    X, U, cost, k, status = jax.jit(
+        lambda x, u: solve_ms_horizon_sharded(sys_, x, u, cfg, mesh)
+    )(x0, U0)
+    assert int(status) == it.CONVERGED
+    np.testing.assert_allclose(float(cost), float(ref.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(ref.X), atol=1e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 (virtual) devices")
+def test_solve_ms_horizon_sharded_validation():
+    from ilqr_tpu.parallel.horizon_solve import solve_ms_horizon_sharded
+    from ilqr_tpu.parallel.mesh import make_mesh
+
+    sys_ = _pendulum()
+    mesh = make_mesh({"time": 4}, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="divisible"):
+        solve_ms_horizon_sharded(sys_, jnp.zeros(2), jnp.zeros((401, 1)),
+                                 it.IlqrConfig(), mesh)
+
+
 def test_mpc_ms_swings_up_under_model_mismatch():
     # Multiple-shooting MPC with shifted-primal (X and U) warm starts must
     # swing the pendulum up under solver/plant integrator mismatch, matching
