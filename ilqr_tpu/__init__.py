@@ -31,6 +31,7 @@ from ilqr_tpu.solver import (
 from ilqr_tpu.tracking import tvlqr_gains, track, track_solution
 from ilqr_tpu.constrained import (
     solve_constrained,
+    solve_constrained_ms,
     ConstraintSet,
     ConstrainedSolution,
     AlConfig,
@@ -58,7 +59,8 @@ __all__ = [
     "backward_pass_associative", "lqr_solve", "lqr_backward",
     "solve", "IlqrConfig", "IlqrSolution",
     "CONVERGED", "LINESEARCH_FAILED", "MAXITER",
-    "solve_constrained", "ConstraintSet", "ConstrainedSolution", "AlConfig",
+    "solve_constrained", "solve_constrained_ms",
+    "ConstraintSet", "ConstrainedSolution", "AlConfig",
     "box_control_constraints", "goal_constraint", "merge_constraints",
     "INFEASIBLE",
     "solve_barrier", "BarrierConfig", "BarrierSolution", "relaxed_log_barrier",

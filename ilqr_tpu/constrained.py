@@ -324,6 +324,237 @@ def _inner_solve(system, cons, x0, U_init, lams, mu, config: IlqrConfig):
     return s["X"], s["U"], s["base_cost"], s["k"], s["status"]
 
 
+def _inner_solve_ms(system, cons, x0, U_init, X_init, lams, mu,
+                    config: IlqrConfig, ms):
+    """Multiple-shooting inner solve on the augmented cost (GNMS ×
+    ALTRO): defect-aware backward on the penalty-augmented expansion, affine
+    multi-candidate update pass, acceptance on the L1 exact-penalty merit
+    φ = J_aug + ν·Σ‖d‖₁.  See `ilqr_tpu.shooting` for the MS machinery.
+    Returns (X, U, base_cost, iterations, status)."""
+    from ilqr_tpu.shooting import (
+        _backward_ms,
+        _node_cost,
+        _node_defects,
+        _update_pass_multi,
+    )
+
+    alphas = jnp.asarray(config.alpha_schedule(), dtype=U_init.dtype)
+    base0 = _node_cost(system, X_init, U_init)
+    aug0 = _augmented_traj_cost(system, cons, lams, mu, X_init, U_init, base0)
+
+    init = dict(
+        X=X_init, U=U_init, base=base0, aug=aug0,
+        prev_merit=jnp.inf, nu=jnp.asarray(ms.nu0, dtype=base0.dtype),
+        k=jnp.asarray(0), status=jnp.asarray(RUNNING),
+    )
+
+    def cond(s):
+        return (s["status"] == RUNNING) & (s["k"] < config.maxiter)
+
+    def body(s):
+        d = _node_defects(system, s["X"], s["U"])
+        defect = jnp.max(jnp.abs(d))
+        merit = s["aug"] + s["nu"] * jnp.sum(jnp.abs(d))
+        converged = (
+            (s["k"] > 0)
+            & (jnp.abs(merit - s["prev_merit"]) <= config.tol)
+            & (defect <= ms.dtol)
+        )
+
+        def mark(s):
+            return {**s, "status": jnp.asarray(CONVERGED)}
+
+        def iterate(s):
+            exp = linearize_trajectory(system, s["X"], s["U"])
+            exp = _augment_expansion(exp, cons, lams, mu, s["X"], s["U"])
+            u_ff, K, _, bp_ok = _backward_ms(
+                exp, d, jnp.asarray(config.reg_init, dtype=s["aug"].dtype),
+                config)
+            dXs, dUs = _update_pass_multi(alphas, exp, d, u_ff, K,
+                                          ms.update_engine)
+
+            def score(dX, dU):
+                X_c, U_c = s["X"] + dX, s["U"] + dU
+                b = _node_cost(system, X_c, U_c)
+                a = _augmented_traj_cost(system, cons, lams, mu, X_c, U_c, b)
+                dn = jnp.sum(jnp.abs(_node_defects(system, X_c, U_c)))
+                return X_c, U_c, b, a, a + s["nu"] * dn
+
+            X_cs, U_cs, bases, augs, merits = jax.vmap(score)(dXs, dUs)
+            accept = (merits <= merit) & jnp.isfinite(merits) & bp_ok
+            any_accept = jnp.any(accept)
+            idx = jnp.argmax(accept)
+
+            def accepted(s):
+                return {
+                    **s, "X": X_cs[idx], "U": U_cs[idx],
+                    "base": bases[idx], "aug": augs[idx],
+                    "prev_merit": merit, "k": s["k"] + 1,
+                }
+
+            def rejected(s):
+                stationary = (defect <= ms.dtol) & (
+                    jnp.min(merits) >= merit - config.tol)
+                new_nu = s["nu"] * ms.nu_factor
+                fail = new_nu > ms.nu_max
+                status = jnp.where(
+                    stationary, CONVERGED,
+                    jnp.where(fail, LINESEARCH_FAILED, RUNNING))
+                return {
+                    **s, "nu": jnp.minimum(new_nu, ms.nu_max),
+                    "prev_merit": jnp.inf, "k": s["k"] + 1, "status": status,
+                }
+
+            return jax.lax.cond(any_accept, accepted, rejected, s)
+
+        return jax.lax.cond(converged, mark, iterate, s)
+
+    s = jax.lax.while_loop(cond, body, init)
+    return s["X"], s["U"], s["base"], s["k"], s["status"]
+
+
+@f32_matmuls
+def solve_constrained_ms(
+    system: System,
+    constraints: ConstraintSet,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    X_init: jnp.ndarray | None = None,
+    config: IlqrConfig = IlqrConfig(),
+    al_config: AlConfig = AlConfig(),
+    ms=None,
+    lam_init: dict = None,
+    mu_init=None,
+) -> ConstrainedSolution:
+    """Constrained solve with a MULTIPLE-SHOOTING inner solver (ALTRO's
+    actual shape: augmented Lagrangian × infeasible-start Gauss-Newton
+    shooting).  Same contract as `solve_constrained`, plus:
+
+    * ``X_init`` — any (N+1, n_x) state warm start, dynamically infeasible
+      allowed (straight-line `ilqr_tpu.interpolate_states`, a stale plan);
+      defaults to the rollout of ``U_init`` (`config.init_rollout='defect'`
+      builds it in O(log N) with a finite-guard constant-x0 fallback);
+    * the state trajectory carries over BETWEEN outer iterations (the
+      previous inner solution warm-starts the next, multipliers and primal
+      together), where `solve_constrained` re-rolls out from scratch;
+    * every inner stage is parallel-in-time (defect-aware Riccati on any
+      backend + one multi-candidate affine prefix scan per iteration), so it
+      composes with ``config.backward='pscan'/'pallas'`` — the O(log N)
+      critical path survives constrained solving, like `ilqr_tpu.barrier`
+      but for general equality+inequality constraints.
+    """
+    from ilqr_tpu.shooting import MsConfig
+
+    if ms is None:
+        ms = MsConfig()
+    if U_init.ndim != 2 or U_init.shape[1] != system.n_u:
+        raise ValueError(
+            f"U_init must have shape (N, n_u={system.n_u}), got {U_init.shape}")
+    N = U_init.shape[0]
+    dtype = U_init.dtype
+    p = constraints.params
+    n_gi = jax.eval_shape(constraints.stage_ineq, p, x0, U_init[0]).shape[0]
+    n_he = jax.eval_shape(constraints.stage_eq, p, x0, U_init[0]).shape[0]
+    n_gti = jax.eval_shape(constraints.terminal_ineq, p, x0).shape[0]
+    n_hte = jax.eval_shape(constraints.terminal_eq, p, x0).shape[0]
+    if n_gi + n_he + n_gti + n_hte == 0:
+        raise ValueError("constraint set is empty; use ilqr_tpu.solve_ms "
+                         "instead")
+
+    if X_init is None:
+        if config.init_rollout == "defect":
+            from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+            X_p, _, _ = open_loop_defect_rollout(
+                system, x0, U_init,
+                iters=config.defect_iters, engine=config.defect_engine)
+            X_init = jnp.where(
+                jnp.all(jnp.isfinite(X_p)), X_p,
+                jnp.broadcast_to(x0, (N + 1,) + x0.shape))
+        else:
+            X_init, _ = rollout(system, x0, U_init)
+    if X_init.shape != (N + 1, system.n_x):
+        raise ValueError(
+            f"X_init must have shape ({N + 1}, {system.n_x}), "
+            f"got {X_init.shape}")
+    X_init = X_init.at[0].set(x0)
+
+    lams0 = dict(
+        gi=jnp.zeros((N, n_gi), dtype), he=jnp.zeros((N, n_he), dtype),
+        gti=jnp.zeros((n_gti,), dtype), hte=jnp.zeros((n_hte,), dtype),
+    )
+    if lam_init is not None:
+        lams0 = {k: jnp.asarray(lam_init[k], dtype).reshape(lams0[k].shape)
+                 for k in lams0}
+    nan = jnp.full((al_config.max_outer,), jnp.nan, dtype=dtype)
+    init = dict(
+        X=X_init, U=U_init,
+        cost=jnp.asarray(jnp.inf, dtype), violation=jnp.asarray(jnp.inf, dtype),
+        lams=lams0,
+        mu=jnp.asarray(al_config.mu0 if mu_init is None else mu_init, dtype),
+        j=jnp.asarray(0), inner_total=jnp.asarray(0),
+        status=jnp.asarray(RUNNING),
+        violation_trace=nan, cost_trace=nan,
+    )
+
+    def cond(s):
+        return (s["status"] == RUNNING) & (s["j"] < al_config.max_outer)
+
+    def body(s):
+        X, U, base_cost, k_inner, inner_status = _inner_solve_ms(
+            system, constraints, x0, s["U"], s["X"], s["lams"], s["mu"],
+            config, ms)
+        viol = _violations(constraints, X, U)
+
+        def upd_stage(lg, lh, x, u):
+            g = constraints.stage_ineq(constraints.params, x, u)
+            h = constraints.stage_eq(constraints.params, x, u)
+            return (jnp.maximum(0.0, lg + s["mu"] * g),
+                    lh + s["mu"] * h)
+
+        lg, lh = jax.vmap(upd_stage)(
+            s["lams"]["gi"], s["lams"]["he"], X[:-1], U)
+        gt = constraints.terminal_ineq(constraints.params, X[-1])
+        ht = constraints.terminal_eq(constraints.params, X[-1])
+        lgt = jnp.maximum(0.0, s["lams"]["gti"] + s["mu"] * gt)
+        lht = s["lams"]["hte"] + s["mu"] * ht
+        clamp = lambda l: jnp.clip(l, -al_config.lam_max, al_config.lam_max)
+        lams = dict(gi=clamp(lg), he=clamp(lh), gti=clamp(lgt), hte=clamp(lht))
+
+        feasible = viol <= al_config.ctol
+        del inner_status
+        stalled = (s["mu"] >= al_config.mu_max) & (viol >= 0.99 * s["violation"])
+        status = jnp.where(
+            feasible, CONVERGED, jnp.where(stalled, INFEASIBLE, RUNNING))
+        j = s["j"]
+        improving = viol <= al_config.viol_decrease * s["violation"]
+        mu_next = jnp.where(
+            improving, s["mu"],
+            jnp.minimum(s["mu"] * al_config.mu_factor, al_config.mu_max))
+        return {
+            **s, "X": X, "U": U, "cost": base_cost, "violation": viol,
+            "lams": lams, "mu": mu_next,
+            "j": j + 1, "inner_total": s["inner_total"] + k_inner,
+            "status": status,
+            "violation_trace": s["violation_trace"].at[j].set(viol),
+            "cost_trace": s["cost_trace"].at[j].set(base_cost),
+        }
+
+    s = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(
+        (s["status"] == RUNNING) & (s["j"] >= al_config.max_outer),
+        INFEASIBLE, s["status"])
+    return ConstrainedSolution(
+        X=s["X"], U=s["U"], cost=s["cost"], violation=s["violation"],
+        status=status, outer_iterations=s["j"],
+        inner_iterations=s["inner_total"],
+        lam_stage_ineq=s["lams"]["gi"], lam_stage_eq=s["lams"]["he"],
+        lam_terminal_ineq=s["lams"]["gti"], lam_terminal_eq=s["lams"]["hte"],
+        mu=s["mu"], violation_trace=s["violation_trace"],
+        cost_trace=s["cost_trace"],
+    )
+
+
 @f32_matmuls
 def solve_constrained(
     system: System,

@@ -169,3 +169,73 @@ def test_multiplier_shapes_and_signs():
     assert bool(jnp.all(sol.lam_stage_ineq >= 0.0))
     # Somewhere the limit binds → at least one strictly positive multiplier.
     assert float(jnp.max(sol.lam_stage_ineq)) > 0.0
+
+
+# ---- Multiple-shooting inner solver (solve_constrained_ms) ----
+
+
+def _ms_setting():
+    sys_ = it.make_pendulum(
+        0.02, [jnp.pi, 0.0], Q=jnp.diag(jnp.array([5.0, 0.1])),
+        R=0.5 * jnp.eye(1), Q_f=jnp.diag(jnp.array([100.0, 10.0])),
+        d=0.0, integrator="rk4",
+    )
+    cons = box_control_constraints(-4.0, 4.0)
+    cfg = it.IlqrConfig(maxiter=60, tol=1e-6)
+    acfg = AlConfig(max_outer=12, ctol=1e-3)
+    return sys_, cons, jnp.zeros(2), jnp.zeros((100, 1)), cfg, acfg
+
+
+def test_constrained_ms_matches_single_shooting():
+    from ilqr_tpu.constrained import solve_constrained_ms
+
+    sys_, cons, x0, U0, cfg, acfg = _ms_setting()
+    ref = solve_constrained(sys_, cons, x0, U0, cfg, acfg)
+    sol = solve_constrained_ms(sys_, cons, x0, U0, config=cfg, al_config=acfg)
+    assert int(sol.status) == CONVERGED
+    assert float(sol.violation) <= acfg.ctol
+    assert abs(float(sol.cost) - float(ref.cost)) < 1e-2 * float(ref.cost)
+    # Torque limit actually active and respected on the node controls.
+    assert float(jnp.max(jnp.abs(sol.U))) <= 4.0 + 1e-3
+    assert float(jnp.max(jnp.abs(sol.U))) > 3.9
+
+
+def test_constrained_ms_infeasible_warm_start():
+    from ilqr_tpu.constrained import solve_constrained_ms
+    from ilqr_tpu.shooting import interpolate_states
+
+    sys_, cons, x0, U0, cfg, acfg = _ms_setting()
+    X0 = interpolate_states(x0, jnp.array([jnp.pi, 0.0]), 100)
+    sol = solve_constrained_ms(sys_, cons, x0, U0, X_init=X0,
+                               config=cfg, al_config=acfg)
+    assert int(sol.status) == CONVERGED
+    assert float(sol.violation) <= acfg.ctol
+    # Dynamics gaps closed: re-rolling out U reproduces the node cost.
+    from ilqr_tpu.ops.rollout import rollout
+
+    _, cost_roll = rollout(sys_, x0, sol.U)
+    assert abs(float(cost_roll) - float(sol.cost)) < 1e-2 * float(sol.cost)
+
+
+def test_constrained_ms_parallel_backend_composes():
+    from ilqr_tpu.constrained import solve_constrained_ms
+
+    sys_, cons, x0, U0, _, acfg = _ms_setting()
+    cfg = it.IlqrConfig(maxiter=60, tol=1e-6, backward="pscan")
+    sol = solve_constrained_ms(sys_, cons, x0, U0, config=cfg, al_config=acfg,
+                               ms=__import__("ilqr_tpu").MsConfig(
+                                   update_engine="xla"))
+    assert int(sol.status) == CONVERGED
+    assert float(sol.violation) <= acfg.ctol
+
+
+def test_constrained_ms_validation():
+    from ilqr_tpu.constrained import solve_constrained_ms
+
+    sys_, cons, x0, U0, cfg, acfg = _ms_setting()
+    with pytest.raises(ValueError, match="X_init"):
+        solve_constrained_ms(sys_, cons, x0, U0, X_init=jnp.zeros((5, 2)),
+                             config=cfg, al_config=acfg)
+    empty = ConstraintSet()
+    with pytest.raises(ValueError, match="empty"):
+        solve_constrained_ms(sys_, empty, x0, U0, config=cfg, al_config=acfg)
