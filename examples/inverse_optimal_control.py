@@ -11,6 +11,8 @@ of demonstrations).
 No reference counterpart: the reference solver is a host-side loop with
 no differentiable surface.  Run: python examples/inverse_optimal_control.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -8,6 +8,8 @@ Compares three controllers on the same closed-loop task:
 
 Run: python examples/mppi_pendulum.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -89,6 +89,14 @@ def track_solution(plant: System, x0, solution, u_limits=None):
     The final backward-pass K of a converged solve is already the TVLQR gain
     for the solution trajectory under the problem's cost — no extra synthesis
     needed.
+
+    Caveat: with control limits (`IlqrConfig.u_min/u_max`) or near-zero
+    regularization the converged gains can be ill-conditioned (Q_uu nearly
+    singular along inactive directions → enormous free-row gains; measured
+    ~1e8 on the thrust-limited quadrotor) — optimal for the local LQ model,
+    useless as a feedback controller.  In that regime synthesize fresh gains
+    with `tvlqr_gains(system, sol.X, sol.U, Q_track, R_track, Qf_track)`
+    instead (see examples/quadrotor_dash.py).
     """
     return track(plant, x0, solution.X, solution.U, solution.K,
                  u_limits=u_limits)
