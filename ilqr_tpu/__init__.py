@@ -37,6 +37,7 @@ from ilqr_tpu.constrained import (
     AlConfig,
     box_control_constraints,
     goal_constraint,
+    state_bound_constraints,
     merge_constraints,
     INFEASIBLE,
 )
@@ -61,7 +62,8 @@ __all__ = [
     "CONVERGED", "LINESEARCH_FAILED", "MAXITER",
     "solve_constrained", "solve_constrained_ms",
     "ConstraintSet", "ConstrainedSolution", "AlConfig",
-    "box_control_constraints", "goal_constraint", "merge_constraints",
+    "box_control_constraints", "goal_constraint", "state_bound_constraints",
+    "merge_constraints",
     "INFEASIBLE",
     "solve_barrier", "BarrierConfig", "BarrierSolution", "relaxed_log_barrier",
     "tvlqr_gains", "track", "track_solution",

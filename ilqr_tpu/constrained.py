@@ -90,6 +90,31 @@ def box_control_constraints(u_min, u_max) -> ConstraintSet:
     return ConstraintSet(params=dict(lo=lo, hi=hi), stage_ineq=g)
 
 
+def state_bound_constraints(x_min, x_max, terminal: bool = True) -> ConstraintSet:
+    """``x_min <= x <= x_max`` as stage (and optionally terminal) inequalities.
+
+    Bounds must be finite arrays of shape (n_x,); for one-sided bounds pick a
+    large finite sentinel for the free side (±inf would poison the AL penalty
+    terms).  The reference has no state constraints at all — its only sketch
+    of constraint handling is a commented-out input log-barrier
+    (`pendulum_sys.py:84-85`).
+    """
+    lo = jnp.asarray(x_min)
+    hi = jnp.asarray(x_max)
+
+    def g(params, x, u):
+        return jnp.concatenate([x - params["hi"], params["lo"] - x])
+
+    def g_term(params, x):
+        return jnp.concatenate([x - params["hi"], params["lo"] - x])
+
+    return ConstraintSet(
+        params=dict(lo=lo, hi=hi),
+        stage_ineq=g,
+        terminal_ineq=g_term if terminal else _zero_con,
+    )
+
+
 def goal_constraint(x_goal) -> ConstraintSet:
     """Exact terminal state ``x_N = x_goal`` as a terminal equality block."""
 

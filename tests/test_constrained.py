@@ -86,6 +86,28 @@ def test_velocity_state_constraint_feasible_and_active():
     assert float(sol.cost) >= float(sol_un.cost) - 1e-6
 
 
+def test_state_bound_constraints_helper():
+    """`state_bound_constraints` box on the velocity dim matches the
+    hand-written stage inequality of the test above."""
+    from ilqr_tpu.constrained import state_bound_constraints
+
+    sys_ = pendulum(Q_f=100.0)
+    x0 = jnp.array([0.0, 0.0])
+    U0 = jnp.zeros((200, 1))
+    vmax = 2.0
+    # Generous finite bounds on the free (angle) dimension.
+    cons = state_bound_constraints(
+        jnp.array([-100.0, -vmax]), jnp.array([100.0, vmax]))
+    sol = jax.jit(lambda x: solve_constrained(
+        sys_, cons, x, U0, it.IlqrConfig(maxiter=100, tol=1e-7),
+        AlConfig(max_outer=12, ctol=1e-4),
+    ))(x0)
+    assert float(sol.violation) <= 1e-4
+    assert float(jnp.max(jnp.abs(sol.X[:, 1]))) <= vmax + 1e-3
+    # Terminal block included by default: final state also within bounds.
+    assert float(jnp.abs(sol.X[-1, 1])) <= vmax + 1e-3
+
+
 def test_terminal_goal_equality():
     sys_ = pendulum(Q_f=0.0)  # no terminal cost — only the hard constraint
     x0 = jnp.array([0.0, 0.0])
