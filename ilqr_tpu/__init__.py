@@ -14,6 +14,7 @@ from ilqr_tpu.models.pendulum import make_pendulum
 from ilqr_tpu.models.double_pendulum import make_double_pendulum
 from ilqr_tpu.models.linear import make_lti, cont2disc
 from ilqr_tpu.models.neural import make_neural_residual, fit_dynamics
+from ilqr_tpu.models.tracking import make_tracking_system, augment_x0, strip_clock
 from ilqr_tpu.ops.integrators import step
 from ilqr_tpu.ops.rollout import rollout, closed_loop_rollout
 from ilqr_tpu.ops.linearize import linearize_trajectory, TrajectoryExpansion
@@ -70,5 +71,6 @@ __all__ = [
     "solve_implicit", "run_mpc_implicit", "IftConfig",
     "solve_mppi", "mppi_update", "run_mpc_mppi", "MppiConfig",
     "make_neural_residual", "fit_dynamics",
+    "make_tracking_system", "augment_x0", "strip_clock",
     "solve_ms", "MsConfig", "MsSolution", "interpolate_states",
 ]

@@ -8,3 +8,6 @@ from ilqr_tpu.models.cartpole import make_cartpole
 from ilqr_tpu.models.quadrotor import make_quadrotor, hover_controls
 from ilqr_tpu.models.car import make_car, obstacle_constraints
 from ilqr_tpu.models.linear import make_lti, cont2disc
+from ilqr_tpu.models.tracking import (
+    make_tracking_system, augment_x0, strip_clock,
+)
