@@ -12,7 +12,10 @@ Strategy by static dimension:
     n = 1, 2, 3 : adjugate (cofactor) inverse — pure elementwise arithmetic
     n = 4       : 2×2 block inversion via Schur complement (each block solve
                   is a 2×2 adjugate) — still pure elementwise arithmetic
-    n ≥ 5       : fall back to jnp.linalg.solve
+    n = 5 … 8   : 4 + (n−4) block Schur complement over the closed forms
+                  above (covers quadrotor n_x=6 and time-augmented states
+                  in the implicit integrators)
+    n ≥ 9       : fall back to jnp.linalg.solve
 
 All functions are batched over arbitrary leading axes and differentiable.
 No pivoting: for SPD/regularized matrices (Q_uu, R, I + C·J) this matches the
@@ -83,8 +86,36 @@ def inv4(A):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _inv_block(A, m):
+    """Block Schur-complement inverse splitting at row/col m (same identity
+    as `inv4`, with each sub-inverse dispatched back through `inv_small`)."""
+    P = A[..., :m, :m]
+    Q = A[..., :m, m:]
+    R = A[..., m:, :m]
+    S = A[..., m:, m:]
+    Pi = inv_small(P)
+    RPi = R @ Pi
+    Sig = S - RPi @ Q
+    Sigi = inv_small(Sig)
+    PiQ = Pi @ Q
+    tl = Pi + PiQ @ Sigi @ RPi
+    tr = -PiQ @ Sigi
+    bl = -Sigi @ RPi
+    top = jnp.concatenate([tl, tr], axis=-1)
+    bot = jnp.concatenate([bl, Sigi], axis=-1)
+    X = jnp.concatenate([top, bot], axis=-2)
+    # Two Newton–Schulz refinement steps (X ← X(2I − AX)): the unpivoted
+    # block elimination can lose ~2 digits when the leading block is poorly
+    # conditioned relative to A; quadratic refinement restores f32 accuracy
+    # for four tiny matmuls — still far cheaper than the pivoted-LU path.
+    I2 = 2.0 * jnp.eye(A.shape[-1], dtype=A.dtype)
+    X = X @ (I2 - A @ X)
+    X = X @ (I2 - A @ X)
+    return X
+
+
 def inv_small(A):
-    """Closed-form inverse for (…, n, n), n ≤ 4; jnp.linalg.inv otherwise."""
+    """Closed-form inverse for (…, n, n), n ≤ 8; jnp.linalg.inv otherwise."""
     n = A.shape[-1]
     if n == 1:
         return 1.0 / A
@@ -94,18 +125,20 @@ def inv_small(A):
         return inv3(A)
     if n == 4:
         return inv4(A)
+    if n <= 8:
+        return _inv_block(A, 4)
     return jnp.linalg.inv(A)
 
 
 def solve_small(A, B):
     """Solve A X = B for (…, n, n) A with static n.
 
-    B: (…, n) or (…, n, m).  Uses the closed-form inverse for n ≤ 4 — one
+    B: (…, n) or (…, n, m).  Uses the closed-form inverse for n ≤ 8 — one
     shared inverse amortized across all right-hand sides, all elementwise
-    VPU arithmetic.
+    VPU arithmetic (plus tiny block matmuls for n ≥ 5).
     """
     n = A.shape[-1]
-    if n > 4:
+    if n > 8:
         return jnp.linalg.solve(A, B)
     Ai = inv_small(A)
     if B.ndim == A.ndim - 1:
