@@ -112,6 +112,30 @@ def test_tracking_mpc_shifts_reference_window():
     assert float(rms) < 0.07
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_tracking_composes_with_horizon_sharding():
+    """The time-augmented tracking system runs under the fully
+    horizon-sharded solve: the reference gather is local to each time shard
+    (X_ref replicated, clock in the state)."""
+    from ilqr_tpu.parallel.horizon_solve import solve_horizon_sharded
+    from ilqr_tpu.parallel.mesh import make_mesh
+
+    base = _pendulum()
+    N = 64
+    t = jnp.arange(N + 1) * base.dt
+    X_ref = jnp.stack([0.5 * jnp.sin(2.0 * t), jnp.cos(2.0 * t)], axis=-1)
+    trk = make_tracking_system(
+        base, X_ref, jnp.zeros((N, 1)), Q=jnp.diag(jnp.array([50.0, 1.0])),
+        R=0.01 * jnp.eye(1), Q_f=jnp.zeros((2, 2)))
+
+    cfg = it.IlqrConfig(maxiter=10, tol=1e-8, defect_iters=4)
+    mesh = make_mesh({"time": 8})
+    _, _, cost, _, status = jax.jit(lambda x, u: solve_horizon_sharded(
+        trk, x, u, cfg, mesh))(augment_x0(jnp.zeros(2)), jnp.zeros((N, 1)))
+    sol = it.solve(trk, augment_x0(jnp.zeros(2)), jnp.zeros((N, 1)), cfg)
+    np.testing.assert_allclose(float(cost), float(sol.cost), rtol=1e-3)
+
+
 def test_tracking_solve_vmaps():
     base = _pendulum()
     N = 100
