@@ -46,8 +46,10 @@ def f32_matmuls(fn: Callable) -> Callable:
 
 # Integrator names accepted framework-wide.  Mirrors the reference's set
 # (`system_base.py:77-198`) plus the implicit trapezoidal rule (2nd-order
-# A-stable; no reference counterpart).
-INTEGRATORS = ("euler", "midpoint", "rk4", "backward_euler", "trapezoidal")
+# A-stable) and 'discrete' (f_cont is the discrete map itself); neither has
+# a reference counterpart.
+INTEGRATORS = ("euler", "midpoint", "rk4", "backward_euler", "trapezoidal",
+               "discrete")
 
 
 @jax.tree_util.register_dataclass

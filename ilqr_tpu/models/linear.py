@@ -37,6 +37,38 @@ def lti_f_cont(params, x, u):
     return matvec(params["A"], x) + matvec(params["B"], u)
 
 
+def make_discrete_lti(
+    A_d,
+    B_d,
+    dt: float,
+    x_target,
+    Q,
+    R,
+    Q_f,
+) -> System:
+    """Discrete LTI system x⁺ = A_d x + B_d u (e.g. the exact-ZOH output of
+    `cont2disc`) with quadratic tracking costs.
+
+    Uses the 'discrete' integrator, so the solver consumes the exact
+    discretization directly — the capability behind the reference's MATLAB
+    linear driver (`main_.m`: cont2disc + Linear_iLQR_CLASS), which the
+    continuous-only `make_lti` cannot express.
+    """
+    A_d, B_d = jnp.asarray(A_d), jnp.asarray(B_d)
+    params = quadratic_cost_params(x_target, Q, R, Q_f)
+    params.update(A=A_d, B=B_d, dt=jnp.asarray(dt))
+    return System(
+        params=params,
+        n_x=A_d.shape[0],
+        n_u=B_d.shape[1],
+        dt=dt,
+        f_cont=lti_f_cont,   # interpreted as the discrete map
+        stage_cost=quadratic_stage_cost,
+        terminal_cost=quadratic_terminal_cost,
+        integrator="discrete",
+    )
+
+
 def make_lti(
     A,
     B,

@@ -160,4 +160,10 @@ def step(system: System, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         return _backward_euler(f, dt, system.newton_iters, p, x, u)
     if name == "trapezoidal":
         return _trapezoidal(f, dt, system.newton_iters, p, x, u)
+    if name == "discrete":
+        # f_cont IS the discrete map x_{k+1} = F(x_k, u_k) — for exactly
+        # discretized LTI systems (cont2disc output, mirroring the MATLAB
+        # `Linear_iLQR_CLASS` driver `main_.m`), learned discrete models,
+        # and discrete augmentations (control-rate wrapper, models/rate.py).
+        return f(p, x, u)
     raise ValueError(f"Unknown integrator {name!r}")
