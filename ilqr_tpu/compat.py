@@ -27,28 +27,36 @@ class SystemAdapter:
     (`system_base.py:223-251`): f_fcn, f_x_fcn, f_u_fcn, l_fcn, l_x_fcn,
     l_u_fcn, l_xx_fcn, l_ux_fcn, l_uu_fcn, l_f_fcn, l_f_x_fcn, l_f_xx_fcn."""
 
-    def __init__(self, system: _System):
+    def __init__(self, system: _System, use_jit: bool = True):
         self._sys = system
         self.n_x, self.n_u, self.dt = system.n_x, system.n_u, system.dt
+        self.use_jit = bool(use_jit)
 
         f = lambda x, u: _step(system, x, u)
         l = lambda x, u: system.stage_cost(system.params, x, u)
         lf = lambda x: system.terminal_cost(system.params, x)
 
-        self.f_fcn: Callable = jax.jit(f)
-        self.f_x_fcn: Callable = jax.jit(jax.jacfwd(f, argnums=0))
-        self.f_u_fcn: Callable = jax.jit(jax.jacfwd(f, argnums=1))
-        self.l_fcn: Callable = jax.jit(l)
-        self.l_x_fcn: Callable = jax.jit(jax.grad(l, argnums=0))
-        self.l_u_fcn: Callable = jax.jit(jax.grad(l, argnums=1))
-        self.l_xx_fcn: Callable = jax.jit(jax.hessian(l, argnums=0))
-        self.l_uu_fcn: Callable = jax.jit(jax.hessian(l, argnums=1))
-        self.l_ux_fcn: Callable = jax.jit(
+        # `use_jit=False` is the reference's eager-debug path
+        # (`system_base.py:223-251`): the 13 public functions trace fresh on
+        # every call, so Python breakpoints / prints inside user dynamics and
+        # cost functions fire.  Solver entry points stay jitted either way
+        # (the whole-loop-on-device design has no eager outer loop).
+        wrap: Callable = jax.jit if self.use_jit else (lambda fn: fn)
+
+        self.f_fcn: Callable = wrap(f)
+        self.f_x_fcn: Callable = wrap(jax.jacfwd(f, argnums=0))
+        self.f_u_fcn: Callable = wrap(jax.jacfwd(f, argnums=1))
+        self.l_fcn: Callable = wrap(l)
+        self.l_x_fcn: Callable = wrap(jax.grad(l, argnums=0))
+        self.l_u_fcn: Callable = wrap(jax.grad(l, argnums=1))
+        self.l_xx_fcn: Callable = wrap(jax.hessian(l, argnums=0))
+        self.l_uu_fcn: Callable = wrap(jax.hessian(l, argnums=1))
+        self.l_ux_fcn: Callable = wrap(
             jax.jacfwd(jax.grad(l, argnums=1), argnums=0)
         )
-        self.l_f_fcn: Callable = jax.jit(lf)
-        self.l_f_x_fcn: Callable = jax.jit(jax.grad(lf))
-        self.l_f_xx_fcn: Callable = jax.jit(jax.hessian(lf))
+        self.l_f_fcn: Callable = wrap(lf)
+        self.l_f_x_fcn: Callable = wrap(jax.grad(lf))
+        self.l_f_xx_fcn: Callable = wrap(jax.hessian(lf))
 
     @property
     def system(self) -> _System:
@@ -58,13 +66,14 @@ class SystemAdapter:
 def MyPendulum(dt, x_target, Q, R, Q_f, g=9.81, l=1.0, d=0.01,
                use_jit=True, integrator="rk4") -> SystemAdapter:
     """Constructor-compatible with the reference `MyPendulum`
-    (`pendulum_sys.py:22-55`). ``use_jit`` is accepted for signature parity
-    (everything is jitted under the hood)."""
+    (`pendulum_sys.py:22-55`).  ``use_jit=False`` gives the reference's
+    eager-debug derivative surface (see `SystemAdapter`)."""
     from ilqr_tpu.models.pendulum import make_pendulum
 
     return SystemAdapter(
         make_pendulum(dt, x_target, Q, R, Q_f, g=g, l=l, d=d,
-                      integrator=integrator)
+                      integrator=integrator),
+        use_jit=use_jit,
     )
 
 
@@ -78,7 +87,8 @@ def MyDoublePendulum(dt, x_target, Q, R, Q_f, g=9.81, m1=1.0, m2=1.0,
     return SystemAdapter(
         make_double_pendulum(dt, x_target, Q, R, Q_f, g=g, m1=m1, m2=m2,
                              l1=l1, l2=l2, d1=d1, d2=d2, theta1=theta1,
-                             theta2=theta2, integrator=integrator)
+                             theta2=theta2, integrator=integrator),
+        use_jit=use_jit,
     )
 
 
@@ -93,7 +103,8 @@ def MyUADoublePendulum(dt, x_target, Q, R, Q_f, g=9.81, m1=1.0, m2=1.0,
         make_double_pendulum(dt, x_target, Q, R, Q_f, g=g, m1=m1, m2=m2,
                              l1=l1, l2=l2, d1=d1, d2=d2, theta1=theta1,
                              theta2=theta2, underactuated=True,
-                             integrator=integrator)
+                             integrator=integrator),
+        use_jit=use_jit,
     )
 
 

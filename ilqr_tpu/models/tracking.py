@@ -8,9 +8,11 @@ touching the `stage_cost(params, x, u)` contract anywhere in the stack:
 
 **the step index becomes part of the state.**  `make_tracking_system(base,
 X_ref, U_ref, Q, R, Q_f)` returns a `System` with state `[x; k]` where the
-clock `k` advances by exactly one per discrete step (dk/dt = 1/dt integrates
-to +1 under every integrator in the set — all of them are exact on constant
-derivatives), and the quadratic tracking cost gathers `X_ref[k]`, `U_ref[k]`
+clock `k` advances by exactly one per discrete step: for integrating schemes
+dk/dt = 1/dt integrates to +1 exactly (all of them are exact on constant
+derivatives); for `integrator='discrete'`, where f_cont IS the next-state
+map, the clock is set to k+1 directly.  The quadratic tracking cost gathers
+`X_ref[k]`, `U_ref[k]`
 on-device.  Because the result IS a `System`, the whole stack composes
 unchanged: solve / MPC / vmapped batches / constrained solves / Pallas
 backward passes.  In receding-horizon MPC the clock in the plant state
@@ -43,6 +45,14 @@ def f_cont(params, x, u):
     xdot = params["base_f"](params["base"], x[:-1], u)
     clock = jnp.ones((1,), dtype=x.dtype) / params["dt"]
     return jnp.concatenate([xdot, clock])
+
+
+def f_discrete(params, x, u):
+    # Under integrator='discrete' the "continuous" function IS the next-state
+    # map (ops/integrators.py::step), so the clock must be SET to k+1 here —
+    # the dk/dt = 1/dt rate form would overwrite it with the constant 1/dt.
+    x_next = params["base_f"](params["base"], x[:-1], u)
+    return jnp.concatenate([x_next, x[-1:] + 1.0])
 
 
 def stage_cost(params, x, u):
@@ -81,7 +91,7 @@ def make_tracking_system(base: System, X_ref, U_ref, Q, R, Q_f) -> System:
         n_x=base.n_x + 1,
         n_u=base.n_u,
         dt=base.dt,
-        f_cont=f_cont,
+        f_cont=f_discrete if base.integrator == "discrete" else f_cont,
         stage_cost=stage_cost,
         terminal_cost=terminal_cost,
         integrator=base.integrator,

@@ -125,8 +125,54 @@ def _inv4(A):
     return [tl[0] + tr[0], tl[1] + tr[1], bl[0] + Sigi[0], bl[1] + Sigi[1]]
 
 
+def _inv_qr_rows(A):
+    """Row-symbolic Householder-QR inverse for 5 ≤ n ≤ 8 (unrolled).
+
+    Mirrors `ilqr_tpu.ops.smallmat._inv_qr`: backward stable with no
+    pivoting (error ~cond·eps — the unpivoted block-Schur alternative loses
+    ~2 digits when the leading block is ill-conditioned, VERDICT r1).  Every
+    entry is an (8, l_blk) tile; ~2n³ elementwise VPU multiply-adds total,
+    cheaper than block-Schur + Newton–Schulz refinement at these sizes.
+    """
+    n = len(A)
+    tiny = 1e-30
+    R = [list(row) for row in A]
+    Qt = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+
+    for k in range(n - 1):
+        norm2 = sum(R[i][k] * R[i][k] for i in range(k, n))
+        normx = jnp.sqrt(norm2)
+        x0 = R[k][k]
+        alpha = -jnp.where(x0 >= 0, 1.0, -1.0) * normx
+        v = [R[i][k] for i in range(k, n)]
+        v[0] = v[0] - alpha
+        vnorm2 = sum(vi * vi for vi in v)
+        beta = jnp.where(vnorm2 > tiny, 2.0 / jnp.maximum(vnorm2, tiny), 0.0)
+        for Mmat in (R, Qt):
+            for j in range(n):
+                w = sum(v[i - k] * Mmat[i][j] for i in range(k, n))
+                bw = beta * w
+                for i in range(k, n):
+                    Mmat[i][j] = Mmat[i][j] - v[i - k] * bw
+
+    X = [[None] * n for _ in range(n)]
+    for i in reversed(range(n)):
+        inv_rii = 1.0 / R[i][i]
+        for j in range(n):
+            acc = Qt[i][j]
+            for l in range(i + 1, n):
+                acc = acc - R[i][l] * X[l][j]
+            X[i][j] = acc * inv_rii
+    return X
+
+
 def _minv(A):
-    return {1: _inv1, 2: _inv2, 3: _inv3, 4: _inv4}[len(A)](A)
+    n = len(A)
+    if n <= 4:
+        return {1: _inv1, 2: _inv2, 3: _inv3, 4: _inv4}[n](A)
+    if n <= 8:
+        return _inv_qr_rows(A)
+    raise ValueError(f"row-symbolic inverse supports n <= 8, got {n}")
 
 
 def _combine_rows(Ei, Ej, n_x):
@@ -278,8 +324,12 @@ MAX_BLOCK_LANES = 2048
 # 16 MB VMEM budget.
 MAX_SUB_LANES = 1024
 
+# VMEM budget for all per-block buffers (double-buffered in/out + scratches);
+# conservative slice of the ~16 MB scoped-stack limit.
+VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
-def _sub_blocking(M: int) -> Tuple[int, int]:
+
+def _sub_blocking(M: int, vmem_rows: int | None = None) -> Tuple[int, int]:
     """(l_blk, n_blocks) for M elements.
 
     l_blk MUST be a power of two: the recursive-doubling schedule (lane
@@ -288,9 +338,18 @@ def _sub_blocking(M: int) -> Tuple[int, int]:
     non-power-of-two width makes the d = l_blk sweep overlap the span already
     accumulated by the lane phase, double-counting elements under the
     non-idempotent combine (silently wrong gains at e.g. l_blk = 384).
+
+    ``vmem_rows`` = total (8, l_blk) f32 row-tiles resident per block across
+    all kernel buffers (pipeline double-buffering included); the lane width is
+    capped so they fit `VMEM_BUDGET_BYTES`.  F grows ~3·n_x², so n_x = 8
+    blocks at l_blk = 256 where n_x = 4 blocks at 1024.
     """
+    cap = MAX_SUB_LANES
+    if vmem_rows is not None:
+        while cap > LANES and vmem_rows * 8 * cap * 4 > VMEM_BUDGET_BYTES:
+            cap //= 2
     l_blk = LANES
-    while 8 * l_blk < M and l_blk < MAX_SUB_LANES:
+    while 8 * l_blk < M and l_blk < cap:
         l_blk *= 2
     n_blocks = -(-M // (8 * l_blk))
     return l_blk, n_blocks
@@ -584,7 +643,7 @@ def _close_blocks(local: RiccatiElement, M: int, n_x: int, blk: int,
 def suffix_scan_pallas(
     elems: RiccatiElement, interpret: bool = False, layout: str = "sub"
 ) -> RiccatiElement:
-    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 4).
+    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 8).
 
     layout='sub' (default): sublane-packed kernel, fully dense VPU tiles.
     layout='lane': original (1, N)-row kernel.
@@ -593,11 +652,12 @@ def suffix_scan_pallas(
 
     M = elems.A.shape[0]
     n_x = elems.A.shape[-1]
-    if n_x > 4:
+    if n_x > 8:
         return suffix_scan(elems)
 
     if layout == "sub":
-        l_blk, n_blocks = _sub_blocking(M)
+        F = _num_fields(n_x)
+        l_blk, n_blocks = _sub_blocking(M, vmem_rows=2 * (F + 1) + 2 * F)
         packed = pack_elements_sub(elems, n_blocks, l_blk)
         out = _suffix_scan_packed_sub(packed, n_x=n_x, l_blk=l_blk,
                                       interpret=interpret)
@@ -865,16 +925,21 @@ def backward_pass_pallas_fused(
     interpret: bool = False, defects=None,
 ):
     """Fully fused Pallas backward pass; same contract as
-    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 4, n_u ≤ 4), incl. the GNMS
+    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 8, n_u ≤ 6), incl. the GNMS
     ``defects`` variant (`ilqr_tpu.shooting`)."""
     from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
-    if n_x > 4 or n_u > 4:
+    if n_x > 8 or n_u > 6:
         return backward_pass_associative(exp, reg, defects=defects)
     M = N + 1
-    l_blk, n_blocks = _sub_blocking(M)
+    F = _num_fields(n_x)
+    Fe = (2 * n_x * n_x + n_x * n_u + n_x + n_u + n_u * n_x + n_u * n_u
+          + (n_x if defects is not None else 0))
+    Fo = n_u + n_u * n_x + 2
+    l_blk, n_blocks = _sub_blocking(
+        M, vmem_rows=2 * (Fe + 1 + Fo) + 2 * F)
     n_steps = n_blocks * 8 * l_blk
 
     reg = jnp.asarray(reg, dtype=exp.l_u.dtype)

@@ -2,8 +2,14 @@
 
 Algorithmic parity with the reference backward pass
 (`/root/reference/python/class_files/iLQR_class.py:79-161`): same Q-expansion,
-same gain solves, same simplified (Todorov-form) value updates, scanned in
-reverse over time.  Differences:
+same gain solves, scanned in reverse over time.  Differences:
+
+* value updates use the FULL symmetric form + explicit symmetrization
+  instead of the reference's simplified Todorov form (`iLQR_class.py:113-114`)
+  — mathematically identical at the unconstrained minimizer, but the
+  simplified form loses V_xx symmetry in f32 and the recursion compounds it
+  catastrophically on stiff cascades (quadrotor: 50%-of-scale u_ff error
+  vs 1e-5 relative with the full form);
 
 * operates on the stacked `TrajectoryExpansion` (derivatives hoisted out of the
   scan — see `ilqr_tpu.ops.linearize`), so the scan body is pure small-matrix
@@ -120,9 +126,16 @@ def backward_pass(
         K = sol[:, :-1]
         u_ff = sol[:, -1]
 
-        # Value updates, simplified form (`iLQR_class.py:113-114`).
-        V_x_new = Q_x + K.T @ Q_u
-        V_xx_new = Q_xx + Q_ux.T @ K
+        # Value updates: full symmetric form + explicit symmetrization, NOT
+        # the reference's simplified Todorov form (`iLQR_class.py:113-114`).
+        # The two are identical in exact arithmetic at the unconstrained
+        # minimizer, but the simplified form loses V_xx symmetry in f32 and
+        # the recursion compounds it — measured 25.3 abs u_ff error (50% of
+        # scale) vs 6e-4 with this form on the quadrotor at N=100 (r2 NOTES).
+        KtQuu = K.T @ Q_uu
+        V_x_new = Q_x + K.T @ Q_u + (KtQuu + Q_ux.T) @ u_ff
+        V_xx_new = Q_xx + KtQuu @ K + K.T @ Q_ux + Q_ux.T @ K
+        V_xx_new = 0.5 * (V_xx_new + V_xx_new.T)
 
         dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
         return (V_x_new, V_xx_new), (u_ff, K, dV)
@@ -193,8 +206,13 @@ def backward_pass_limited(
             Q_uu_reg, Q_u, u_lo - u_k, u_hi - u_k, Q_ux, iters=qp_iters
         )
 
-        V_x_new = Q_x + K.T @ Q_u
-        V_xx_new = Q_xx + Q_ux.T @ K
+        # Full symmetric value update (see backward_pass): besides the f32
+        # robustness, for CLAMPED controls the simplified form is not even
+        # algebraically valid — u_ff/K are not the unconstrained minimizer.
+        KtQuu = K.T @ Q_uu
+        V_x_new = Q_x + K.T @ Q_u + (KtQuu + Q_ux.T) @ u_ff
+        V_xx_new = Q_xx + KtQuu @ K + K.T @ Q_ux + Q_ux.T @ K
+        V_xx_new = 0.5 * (V_xx_new + V_xx_new.T)
 
         dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
         return (V_x_new, V_xx_new), (u_ff, K, dV)

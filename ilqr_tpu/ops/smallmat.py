@@ -12,15 +12,17 @@ Strategy by static dimension:
     n = 1, 2, 3 : adjugate (cofactor) inverse — pure elementwise arithmetic
     n = 4       : 2×2 block inversion via Schur complement (each block solve
                   is a 2×2 adjugate) — still pure elementwise arithmetic
-    n = 5 … 8   : 4 + (n−4) block Schur complement over the closed forms
-                  above (covers quadrotor n_x=6 and time-augmented states
-                  in the implicit integrators)
+    n = 5 … 8   : fully-unrolled batched Householder QR inverse — backward
+                  stable without pivoting (error ~cond(A)·eps, the working-
+                  precision optimum); covers quadrotor n_x=6 and
+                  time-augmented states in the implicit integrators
     n ≥ 9       : fall back to jnp.linalg.solve
 
 All functions are batched over arbitrary leading axes and differentiable.
-No pivoting: for SPD/regularized matrices (Q_uu, R, I + C·J) this matches the
-conditioning of an unpivoted factorization, which is what the algebra gives
-anyway.
+The n ≤ 4 adjugate/Schur forms are unpivoted: for SPD/regularized matrices
+(Q_uu, R, I + C·J) this matches the conditioning of an unpivoted
+factorization, which is what the algebra gives anyway.  The n = 5…8 QR path
+needs no such assumption — any well-scaled nonsingular matrix is fine.
 """
 from __future__ import annotations
 
@@ -86,32 +88,50 @@ def inv4(A):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _inv_block(A, m):
-    """Block Schur-complement inverse splitting at row/col m (same identity
-    as `inv4`, with each sub-inverse dispatched back through `inv_small`)."""
-    P = A[..., :m, :m]
-    Q = A[..., :m, m:]
-    R = A[..., m:, :m]
-    S = A[..., m:, m:]
-    Pi = inv_small(P)
-    RPi = R @ Pi
-    Sig = S - RPi @ Q
-    Sigi = inv_small(Sig)
-    PiQ = Pi @ Q
-    tl = Pi + PiQ @ Sigi @ RPi
-    tr = -PiQ @ Sigi
-    bl = -Sigi @ RPi
-    top = jnp.concatenate([tl, tr], axis=-1)
-    bot = jnp.concatenate([bl, Sigi], axis=-1)
-    X = jnp.concatenate([top, bot], axis=-2)
-    # Two Newton–Schulz refinement steps (X ← X(2I − AX)): the unpivoted
-    # block elimination can lose ~2 digits when the leading block is poorly
-    # conditioned relative to A; quadratic refinement restores f32 accuracy
-    # for four tiny matmuls — still far cheaper than the pivoted-LU path.
-    I2 = 2.0 * jnp.eye(A.shape[-1], dtype=A.dtype)
-    X = X @ (I2 - A @ X)
-    X = X @ (I2 - A @ X)
-    return X
+def _inv_qr(A):
+    """Batched inverse via fully-unrolled Householder QR (n ≤ 8, n static).
+
+    Replaces the round-1 unpivoted block-Schur + Newton–Schulz scheme, which
+    lost ~2 digits whenever the leading 4×4 block was ill-conditioned relative
+    to A (VERDICT r1 / NOTES r1).  Householder QR is backward stable with NO
+    pivoting, so the error is ~cond(A)·eps — optimal for the working
+    precision.  Everything is static-shape unrolled elementwise arithmetic
+    (broadcast sums, no tiny dot_generals, no gather/scatter), so it batches
+    over arbitrary leading axes on the VPU and is differentiable.
+    """
+    n = A.shape[-1]
+    dt = A.dtype
+    tiny = jnp.finfo(dt).tiny
+    idx = jnp.arange(n)
+    R = A
+    # Accumulate Qᵀ by applying each reflector to the identity.
+    Qt = jnp.broadcast_to(jnp.eye(n, dtype=dt), A.shape)
+
+    for k in range(n - 1):
+        # Column k, zeroed above the diagonal (reflector acts on rows ≥ k).
+        x = jnp.where(idx >= k, R[..., :, k], jnp.zeros((), dt))
+        normx = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        x0 = R[..., k, k]
+        sgn = jnp.where(x0 >= 0, jnp.ones((), dt), -jnp.ones((), dt))
+        alpha = -sgn * normx
+        v = x - alpha[..., None] * (idx == k).astype(dt)
+        vnorm2 = jnp.sum(v * v, axis=-1)
+        # Column already zero below the diagonal → identity reflector.
+        beta = jnp.where(vnorm2 > tiny, 2.0 / jnp.maximum(vnorm2, tiny), 0.0)
+        # H M = M − β v (vᵀ M), as broadcast sums (tiny dot_general is slow).
+        wR = jnp.sum(v[..., :, None] * R, axis=-2)
+        R = R - beta[..., None, None] * v[..., :, None] * wR[..., None, :]
+        wQ = jnp.sum(v[..., :, None] * Qt, axis=-2)
+        Qt = Qt - beta[..., None, None] * v[..., :, None] * wQ[..., None, :]
+
+    # Back substitution: solve R X = Qᵀ, rows built bottom-up (unrolled).
+    rows = [None] * n
+    for i in reversed(range(n)):
+        acc = Qt[..., i, :]
+        for j in range(i + 1, n):
+            acc = acc - R[..., i, j][..., None] * rows[j]
+        rows[i] = acc / R[..., i, i][..., None]
+    return jnp.stack(rows, axis=-2)
 
 
 def inv_small(A):
@@ -126,7 +146,7 @@ def inv_small(A):
     if n == 4:
         return inv4(A)
     if n <= 8:
-        return _inv_block(A, 4)
+        return _inv_qr(A)
     return jnp.linalg.inv(A)
 
 

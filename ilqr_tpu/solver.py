@@ -50,7 +50,7 @@ class IlqrConfig:
     alpha_factor: float = 0.5
     n_alphas: int = 10
     min_alpha: float = 1e-8
-    # 'auto' picks the fused Pallas parallel scan on TPU for n_x≤4, N≥256 and
+    # 'auto' picks the fused Pallas parallel scan on TPU for n_x≤8, N≥256 and
     # the sequential scan otherwise; explicit: 'scan' | 'pscan' | 'pallas'.
     backward: str = "auto"
     # Full DDP: add the second-order dynamics terms V_x·f_xx/f_ux/f_uu to the
@@ -193,7 +193,7 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         n_x = exp.v_x.shape[-1]
         N = exp.l_u.shape[0]
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and n_x <= 4 and N >= 256:
+        if on_tpu and n_x <= 8 and N >= 256:
             backward = "pallas"
         else:
             backward = "scan"
@@ -206,7 +206,7 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         # Pallas program) when the control dimension fits; the element-scan
         # kernel otherwise.
         n_u = exp.l_u.shape[-1]
-        if n_u <= 4:
+        if n_u <= 6:
             from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
 
             return backward_pass_pallas_fused(exp, reg)

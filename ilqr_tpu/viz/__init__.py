@@ -1,7 +1,13 @@
 from ilqr_tpu.viz.plots import plot_trajectory, plot_convergence
-from ilqr_tpu.viz.animation import DoublePendulumAnimation, forward_kinematics
+from ilqr_tpu.viz.animation import (
+    DoublePendulumAnimation,
+    DoublePendulumAnimation3D,
+    forward_kinematics,
+    wall_clock_to_index,
+)
 
 __all__ = [
     "plot_trajectory", "plot_convergence",
-    "DoublePendulumAnimation", "forward_kinematics",
+    "DoublePendulumAnimation", "DoublePendulumAnimation3D",
+    "forward_kinematics", "wall_clock_to_index",
 ]

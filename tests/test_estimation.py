@@ -110,8 +110,10 @@ def test_output_feedback_lqg_beats_open_loop_replay():
     sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2),
                             R=0.1 * jnp.eye(1), Q_f=10.0 * jnp.eye(2),
                             d=0.1, integrator="rk4")
+    # tol=1e-6: a 1e-7 Δcost is below the f32 resolution at this cost scale,
+    # where the stall can read as line-search failure instead of convergence.
     sol = it.solve(sys_, jnp.zeros(2), jnp.zeros((300, 1)),
-                   it.IlqrConfig(maxiter=80, tol=1e-7))
+                   it.IlqrConfig(maxiter=80, tol=1e-6))
     assert int(sol.status) == 1
 
     obs_fn = lambda x: x[:1]

@@ -97,3 +97,49 @@ def test_guards():
     sol = solve_checked(sys_, jnp.array([1.0, 0.0]), jnp.zeros((50, 1)),
                         it.IlqrConfig(maxiter=5))
     assert np.isfinite(float(sol.cost))
+
+
+def test_wall_clock_to_index_semantics():
+    """Reference real-time callback parity (`animation_double_pendulum.py:
+    178-204`): wall-clock -> index with looping, clamping and frame skipping."""
+    from ilqr_tpu.viz.animation import wall_clock_to_index
+
+    dt, n = 0.01, 400  # 4 s of simulation
+    assert wall_clock_to_index(0.0, dt, n) == 0
+    assert wall_clock_to_index(1.0, dt, n) == 100
+    # Slow rendering: a late tick jumps ahead (frames skipped, not slowed).
+    assert wall_clock_to_index(2.5, dt, n) == 250
+    # Clamp at the last step.
+    assert wall_clock_to_index(3.9999, dt, n) == 399
+    # Looping playback wraps modulo the total duration.
+    assert wall_clock_to_index(4.0 + 1.0, dt, n) == 100
+    assert wall_clock_to_index(12.5, dt, n) == 50
+    # Non-looping: clamp at the end instead of wrapping.
+    assert wall_clock_to_index(9.0, dt, n, loop=False) == n - 1
+
+
+def test_live_preview_headless():
+    """The live preview builds without a display and its timer callback
+    renders wall-clock-mapped frames (smoke: no plt.show)."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    N = 30
+    t = np.linspace(0, 1, N)
+    X = np.stack([np.pi * t, np.sin(3 * t), np.zeros(N), np.zeros(N)], axis=1)
+    anim = DoublePendulumAnimation(X, dt=0.05).live_preview(show=False)
+    anim._func(0)  # one timer tick
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_mp4_export_3d(tmp_path):
+    from ilqr_tpu.viz.animation import DoublePendulumAnimation3D
+
+    N = 40
+    t = np.linspace(0, 1, N)
+    X = np.stack([2.0 * t, np.sin(4 * t), np.zeros(N), np.zeros(N)], axis=1)
+    path = str(tmp_path / "anim3d.mp4")
+    DoublePendulumAnimation3D(X, dt=0.02).animate(
+        save_video=True, filename=path, fps=30, resolution=(320, 320))
+    assert os.path.getsize(path) > 5000
