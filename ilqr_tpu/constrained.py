@@ -487,7 +487,7 @@ def solve_constrained_ms(
                          "instead")
 
     if X_init is None:
-        if config.init_rollout == "defect":
+        if config.resolved_init_rollout(N) == "defect":
             from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
             X_p, _, _ = open_loop_defect_rollout(

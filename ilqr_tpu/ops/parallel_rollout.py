@@ -53,6 +53,13 @@ def affine_prefix_scan(A: jnp.ndarray, d: jnp.ndarray, delta0: jnp.ndarray):
     return jnp.concatenate([delta0[None], deltas], axis=0)
 
 
+def _guarded_max_defect(d: jnp.ndarray, axes) -> jnp.ndarray:
+    """max |d| over ``axes`` with non-finite mapped to +inf (a NaN defect must
+    read as 'not converged', not poison the early-exit comparison)."""
+    m = jnp.max(jnp.abs(d), axis=axes)
+    return jnp.where(jnp.isfinite(m), m, jnp.inf)
+
+
 @f32_matmuls
 def defect_rollout(
     system: System,
@@ -64,30 +71,47 @@ def defect_rollout(
     K: jnp.ndarray,
     A_cl: jnp.ndarray,
     iters: int = 6,
+    engine: str = "auto",
+    exit_tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closed-loop line-search rollout by parallel defect correction.
 
     Same contract as `ilqr_tpu.ops.rollout.closed_loop_rollout`, plus the
     final max-defect (‖f(x_k,u_k) − x_{k+1}‖∞ over k).  ``A_cl`` is the
-    linearized closed-loop transition f_x + f_u K, (N, n_x, n_x).
+    linearized closed-loop transition f_x + f_u K, (N, n_x, n_x).  Sweeps
+    stop early once the defect falls below ``exit_tol`` (dynamics evaluation
+    dominates the sweep cost; near convergence one or two sweeps suffice).
     """
+    from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
 
     def controls(X):
         dx = X[:-1] - X_old[:-1]
         return U_old + alpha * u_ff + (K @ dx[..., None])[..., 0]
 
-    def sweep(_, X):
-        U = controls(X)
-        F = jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
+    def eval_f(X, U):
+        return jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
+
+    U0 = controls(X_old)
+    F0 = eval_f(X_old, U0)
+
+    def cond(c):
+        k, X, U, F, defect = c
+        return (k < iters) & (defect > exit_tol)
+
+    def body(c):
+        k, X, U, F, _ = c
         d = F - X[1:]
-        deltas = affine_prefix_scan(A_cl, d, x0 - X[0])
-        return X + deltas
+        deltas = affine_prefix_scan_multi(
+            A_cl, d[None], (x0 - X[0])[None], engine=engine)[0]
+        Xn = X + deltas
+        Un = controls(Xn)
+        Fn = eval_f(Xn, Un)
+        return k + 1, Xn, Un, Fn, _guarded_max_defect(Fn - Xn[1:], (0, 1))
 
     # Warm start from the nominal trajectory.
-    X = jax.lax.fori_loop(0, iters, sweep, X_old)
-    U = controls(X)
-    F = jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
-    defect = jnp.max(jnp.abs(F - X[1:]))
+    _, X, U, F, defect = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), X_old, U0, F0, _guarded_max_defect(F0 - X_old[1:], (0, 1))))
     cost = jnp.sum(
         jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(X[:-1], U)
     ) + system.terminal_cost(system.params, X[-1])
@@ -102,6 +126,7 @@ def open_loop_defect_rollout(
     X_guess: jnp.ndarray | None = None,
     iters: int = 8,
     engine: str = "auto",
+    exit_tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Open-loop rollout by parallel-in-time Newton sweeps.
 
@@ -114,8 +139,9 @@ def open_loop_defect_rollout(
     poor guess on unstable dynamics — check the returned defect and fall back
     to the sequential `ops.rollout.rollout`).
 
-    X_guess defaults to the constant trajectory at x0.  Returns
-    (X: (N+1, n_x), cost, max_defect).
+    X_guess defaults to the constant trajectory at x0.  Sweeps stop early once
+    the defect falls below ``exit_tol`` (saves the vmapped Jacobian evaluation
+    per spared sweep).  Returns (X: (N+1, n_x), cost, max_defect).
     """
     from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
 
@@ -127,17 +153,25 @@ def open_loop_defect_rollout(
 
     f = lambda x, u: step(system, x, u)
 
-    def sweep(_, X):
-        F, A = jax.vmap(lambda x, u: (f(x, u), jax.jacfwd(f, argnums=0)(x, u))
-                        )(X[:-1], U)
+    F0 = jax.vmap(f)(X0[:-1], U)
+
+    def cond(c):
+        k, X, F, defect = c
+        return (k < iters) & (defect > exit_tol)
+
+    def body(c):
+        k, X, F, _ = c
+        A = jax.vmap(lambda x, u: jax.jacfwd(f, argnums=0)(x, u))(X[:-1], U)
         d = F - X[1:]
         deltas = affine_prefix_scan_multi(
             A, d[None], (x0 - X[0])[None], engine=engine)[0]
-        return X + deltas
+        Xn = X + deltas
+        Fn = jax.vmap(f)(Xn[:-1], U)
+        return k + 1, Xn, Fn, _guarded_max_defect(Fn - Xn[1:], (0, 1))
 
-    X = jax.lax.fori_loop(0, iters, sweep, X0)
-    F = jax.vmap(f)(X[:-1], U)
-    defect = jnp.max(jnp.abs(F - X[1:]))
+    _, X, F, defect = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), X0, F0, _guarded_max_defect(F0 - X0[1:], (0, 1))))
     cost = jnp.sum(
         jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(X[:-1], U)
     ) + system.terminal_cost(system.params, X[-1])
@@ -146,7 +180,8 @@ def open_loop_defect_rollout(
 
 @f32_matmuls
 def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
-                               iters: int = 6, engine: str = "auto"):
+                               iters: int = 6, engine: str = "auto",
+                               exit_tol: float = 0.0):
     """All α candidates via defect-correction sweeps with a SHARED scan.
 
     The linearized closed-loop transition A_cl = f_x + f_u K is independent of
@@ -155,6 +190,9 @@ def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
     scan per α — one P-chain's worth of matrix products regardless of the
     schedule length.  Returns (X_cands, U_cands, costs, defects) with a
     leading α axis; `engine` selects the scan backend ('auto'|'pallas'|'xla').
+    Sweeps stop early once EVERY candidate's defect is below ``exit_tol``
+    (candidates that diverge keep the loop alive to the ``iters`` cap; they
+    come back uncertified either way).
     """
     from ilqr_tpu.ops.pallas_affine import affine_prefix_scan_multi
 
@@ -172,18 +210,28 @@ def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
             jax.vmap(lambda x, u: step(system, x, u))
         )(X[:, :-1], U)
 
-    def sweep(_, X):
-        U = controls(X)
-        F = eval_f(X, U)
+    U0 = controls(X_init)
+    F0 = eval_f(X_init, U0)
+
+    def cond(c):
+        k, X, U, F, defects = c
+        return (k < iters) & (jnp.max(defects) > exit_tol)
+
+    def body(c):
+        k, X, U, F, _ = c
         d = F - X[:, 1:]
         delta0 = x0[None] - X[:, 0]
         deltas = affine_prefix_scan_multi(A_cl, d, delta0, engine=engine)
-        return X + deltas
+        Xn = X + deltas
+        Un = controls(Xn)
+        Fn = eval_f(Xn, Un)
+        return (k + 1, Xn, Un, Fn,
+                _guarded_max_defect(Fn - Xn[:, 1:], (1, 2)))
 
-    X = jax.lax.fori_loop(0, iters, sweep, X_init)
-    U = controls(X)
-    F = eval_f(X, U)
-    defects = jnp.max(jnp.abs(F - X[:, 1:]), axis=(1, 2))
+    _, X, U, F, defects = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), X_init, U0, F0,
+         _guarded_max_defect(F0 - X_init[:, 1:], (1, 2))))
     stage = jax.vmap(
         jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))
     )(X[:, :-1], U)

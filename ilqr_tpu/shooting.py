@@ -238,7 +238,7 @@ def solve_ms(
         # `solve`, an unconverged defect rollout needs no fallback: the
         # residual gaps are exactly what the MS iteration closes anyway, so
         # the certificate only seeds cost0/merit bookkeeping.
-        if config.init_rollout == "defect":
+        if config.resolved_init_rollout(N) == "defect":
             from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
             X_p, _, _ = open_loop_defect_rollout(

@@ -35,6 +35,14 @@ from ilqr_tpu.ops.rollout import rollout, linesearch_rollouts
 # Solve status codes (returned in IlqrSolution.status).
 RUNNING, CONVERGED, LINESEARCH_FAILED, MAXITER = 0, 1, 2, 3
 
+# 'auto' thresholds for the parallel-in-time (defect) rollout paths: below
+# these horizon lengths the sequential scan's lower per-step work wins; above
+# them its O(N) latency dominates (measured on v5e — pendulum line search
+# crosses near N≈4k, the open-loop init rollout near N≈2k; cartpole-class
+# dynamics cross later, so the line-search threshold is set conservatively).
+_DEFECT_LS_N = 8192
+_DEFECT_INIT_N = 2048
+
 
 @dataclasses.dataclass(frozen=True)
 class IlqrConfig:
@@ -61,12 +69,19 @@ class IlqrConfig:
     ddp: bool = False
     # Line-search rollout engine: 'scan' = one vmapped XLA rollout batch over
     # all α; 'pallas' = fused sequential kernels (candidate costs in one
-    # chain, then one materializing rollout for the accepted α) — pays off on
-    # long horizons where XLA's ~12 µs/step scan overhead dominates.
-    rollout: str = "scan"
-    # Defect-correction rollout settings (rollout='defect'): Newton-Picard
+    # chain, then one materializing rollout for the accepted α); 'defect' =
+    # parallel-in-time Newton-Picard sweeps (O(log N) depth) with a two-phase
+    # schedule (first-α alone, then the full candidate batch only if it is
+    # rejected) and an exact-sequential fallback when certification fails.
+    # 'auto' picks 'defect' on TPU above N ≥ _DEFECT_LS_N (unconstrained) and
+    # 'scan' otherwise.
+    rollout: str = "auto"
+    # Defect-correction rollout settings (rollout='defect'): max Newton-Picard
     # sweeps per rollout and the certification threshold above which a
-    # candidate is rejected as unconverged.
+    # candidate is rejected as unconverged.  Sweeps early-exit once the defect
+    # drops below 1e-3·defect_tol (dynamics evaluation dominates sweep cost;
+    # the margin keeps defect-induced cost error well under the convergence
+    # tol — with quadratic Newton contraction it costs at most ~1 extra sweep).
     defect_iters: int = 8
     defect_tol: float = 1e-3
     # Initial open-loop rollout engine: 'scan' (sequential, exact) or
@@ -74,7 +89,8 @@ class IlqrConfig:
     # O(log N) depth instead of the O(N) chain that dominates long-horizon
     # solve latency).  'defect' self-certifies: if the final defect exceeds
     # defect_tol the solver falls back to the sequential rollout (lax.cond).
-    init_rollout: str = "scan"
+    # 'auto' picks 'defect' on TPU above N ≥ _DEFECT_INIT_N.
+    init_rollout: str = "auto"
     # Scan backend for the defect sweeps' shared affine prefix scan:
     # 'auto' = fused Pallas kernel on TPU (n_x ≤ 8), XLA otherwise.
     defect_engine: str = "auto"
@@ -89,6 +105,12 @@ class IlqrConfig:
     u_min: Any = None
     u_max: Any = None
     boxqp_iters: int = 8
+    # Active-set sweep CAP of the PARALLEL control-limited backward
+    # (ops/limited_parallel.py): each sweep is one O(log N) suffix scan with
+    # the clamped set frozen + a projected-Newton set update; the iteration
+    # exits early once the set stops changing.  Used when limits are combined
+    # with backward='pallas'/'pscan' (or 'auto' on TPU).
+    active_set_sweeps: int = 12
     # iLQG stochastic dynamics (ilqr_tpu.ilqg): a pure function
     # noise_fn(x, u) -> (n_x, n_w) giving the noise-direction matrix C of
     # x⁺ = f(x, u) + C(x, u)·ξ, ξ ~ N(0, I).  The backward pass minimizes the
@@ -102,13 +124,15 @@ class IlqrConfig:
                 f"backward must be 'auto'|'scan'|'pscan'|'pallas', "
                 f"got {self.backward!r}"
             )
-        if self.rollout not in ("scan", "pallas", "defect"):
+        if self.rollout not in ("auto", "scan", "pallas", "defect"):
             raise ValueError(
-                f"rollout must be 'scan'|'pallas'|'defect', got {self.rollout!r}"
+                f"rollout must be 'auto'|'scan'|'pallas'|'defect', "
+                f"got {self.rollout!r}"
             )
-        if self.init_rollout not in ("scan", "defect"):
+        if self.init_rollout not in ("auto", "scan", "defect"):
             raise ValueError(
-                f"init_rollout must be 'scan'|'defect', got {self.init_rollout!r}"
+                f"init_rollout must be 'auto'|'scan'|'defect', "
+                f"got {self.init_rollout!r}"
             )
         if self.defect_engine not in ("auto", "pallas", "xla"):
             raise ValueError(
@@ -124,14 +148,9 @@ class IlqrConfig:
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
         if self.u_min is not None:
-            if self.backward not in ("auto", "scan"):
-                raise ValueError(
-                    "control limits require the sequential backward pass "
-                    "(backward='scan'/'auto'); the associative-scan elements "
-                    "assume unconstrained minimization"
-                )
-            if self.rollout != "scan":
-                raise ValueError("control limits require rollout='scan'")
+            if self.rollout not in ("auto", "scan"):
+                raise ValueError("control limits require rollout='scan' "
+                                 "(or 'auto', which resolves to 'scan')")
         if self.noise is not None and self.backward not in ("auto", "scan"):
             raise ValueError(
                 "noise (iLQG) requires the sequential backward pass "
@@ -140,6 +159,29 @@ class IlqrConfig:
             )
         if self.maxiter < 1:
             raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
+
+    def resolved_rollout(self, N: int) -> str:
+        """Line-search engine after 'auto' resolution (static, trace-time).
+
+        'defect' pays off where the O(N) sequential chain dominates: TPU,
+        long horizon, no hard control limits (the defect controls() map does
+        not clamp), no stochastic rollouts.
+        """
+        if self.rollout != "auto":
+            return self.rollout
+        if self.u_min is not None:
+            return "scan"
+        if jax.default_backend() == "tpu" and N >= _DEFECT_LS_N:
+            return "defect"
+        return "scan"
+
+    def resolved_init_rollout(self, N: int) -> str:
+        """Initial-rollout engine after 'auto' resolution (trace-time)."""
+        if self.init_rollout != "auto":
+            return self.init_rollout
+        if jax.default_backend() == "tpu" and N >= _DEFECT_INIT_N:
+            return "defect"
+        return "scan"
 
     def limit_arrays(self, n_u: int, dtype):
         """(lo, hi) broadcast to (n_u,), or None if unconstrained."""
@@ -178,9 +220,28 @@ class IlqrSolution:
 
 def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
     if config.u_min is not None:
+        lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
+        backward = config.backward
+        if backward == "auto" and hess is None and noise is None:
+            # Same auto rule as the unconstrained pass: the parallel
+            # frozen-active-set form (O(sweeps·log N) suffix scans) beats the
+            # sequential per-step boxQP from a few hundred steps on TPU.
+            n_x = exp.v_x.shape[-1]
+            N = exp.l_u.shape[0]
+            if jax.default_backend() == "tpu" and n_x <= 8 and N >= 256:
+                backward = "pallas"
+            else:
+                backward = "scan"
+        if backward in ("pallas", "pscan"):
+            from ilqr_tpu.ops.limited_parallel import (
+                backward_pass_limited_parallel,
+            )
+
+            return backward_pass_limited_parallel(
+                exp, U, lo, hi, reg, sweeps=config.active_set_sweeps,
+                engine="pallas" if backward == "pallas" else "xla")
         from ilqr_tpu.ops.riccati import backward_pass_limited
 
-        lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
         return backward_pass_limited(exp, U, lo, hi, reg,
                                      qp_iters=config.boxqp_iters, hess=hess,
                                      noise=noise)
@@ -243,12 +304,14 @@ def solve(
     if limits is not None:
         # Feasible initial guess: the initial rollout applies U_init verbatim.
         U_init = jnp.clip(U_init, limits[0], limits[1])
-    if config.init_rollout == "defect":
+    rollout_mode = config.resolved_rollout(N)
+    if config.resolved_init_rollout(N) == "defect":
         from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
         X_p, cost_p, defect = open_loop_defect_rollout(
             system, x0, U_init,
-            iters=config.defect_iters, engine=config.defect_engine)
+            iters=config.defect_iters, engine=config.defect_engine,
+            exit_tol=1e-3 * config.defect_tol)
         X0, cost0 = jax.lax.cond(
             defect < config.defect_tol,
             lambda: (X_p, cost_p),
@@ -301,7 +364,7 @@ def solve(
             u_ff, K, dV, bp_ok = _backward(exp, s["U"], s["reg"], config,
                                            hess, noise)
 
-            if config.rollout == "pallas":
+            if rollout_mode == "pallas":
                 from ilqr_tpu.ops.pallas_rollout import (
                     closed_loop_rollout_pallas,
                     linesearch_costs_pallas,
@@ -311,44 +374,77 @@ def solve(
                     system, x0, alphas, s["X"], s["U"], u_ff, K
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
-            elif config.rollout == "defect":
+            elif rollout_mode == "defect":
                 from ilqr_tpu.ops.parallel_rollout import (
+                    defect_rollout,
                     linesearch_defect_rollouts,
                 )
 
-                X_c, U_c, costs, defects = linesearch_defect_rollouts(
-                    system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                n_alpha = alphas.shape[0]
+                exit_tol = 1e-3 * config.defect_tol
+                A_cl = exp.f_x + exp.f_u @ K
+
+                # Phase 1: the FIRST candidate in the backtracking schedule
+                # alone (it is the accepted one in almost every iteration of a
+                # healthy solve, and accept-first-improving means accepting it
+                # needs no knowledge of the later candidates).  This is the
+                # cartpole-class fix: sweep cost is dominated by dynamics
+                # evaluation, so sweeping one candidate instead of the whole
+                # schedule is ~n_alpha× cheaper.
+                X1, U1, cost1, d1 = defect_rollout(
+                    system, x0, alphas[0], s["X"], s["U"], u_ff, K, A_cl,
                     iters=config.defect_iters, engine=config.defect_engine,
-                )
-                # Only defect-certified candidates are eligible.
-                certified = defects < config.defect_tol
+                    exit_tol=exit_tol)
+                ok1 = ((d1 < config.defect_tol) & jnp.isfinite(cost1)
+                       & (cost1 <= s["cost"]))
 
-                # Accept-first-improving is only faithful if every candidate
-                # EARLIER in the schedule than the winner has a known (exact)
-                # cost.  If an uncertified candidate precedes the first
-                # certified-improving one — or nothing certifies at all (the
-                # Newton-Picard sweeps diverge far from the linearization
-                # point) — fall back to the exact sequential rollouts instead
-                # of silently creeping along tiny certified α.  The branch is
-                # only *executed* when taken (lax.cond) on unbatched solves;
-                # under vmap it lowers to a select and both run — 'defect'
-                # targets long single-instance horizons, where that is moot.
-                acc_par = (costs <= s["cost"]) & jnp.isfinite(costs) & certified
-                idx_par = jnp.argmax(acc_par)
-                preceding_uncertified = jnp.any(
-                    ~certified & (jnp.arange(alphas.shape[0]) < idx_par))
-                par_ok = jnp.any(acc_par) & ~preceding_uncertified
+                def phase1(_):
+                    Xs = jnp.broadcast_to(X1, (n_alpha,) + X1.shape)
+                    Us = jnp.broadcast_to(U1, (n_alpha,) + U1.shape)
+                    cs = jnp.full((n_alpha,), jnp.inf,
+                                  dtype=cost1.dtype).at[0].set(cost1)
+                    cert = jnp.zeros((n_alpha,), bool).at[0].set(True)
+                    return Xs, Us, cs, cert
 
-                def exact(_):
-                    Xs, Us, cs = linesearch_rollouts(
-                        system, x0, alphas, s["X"], s["U"], u_ff, K)
-                    return Xs, Us, cs, jnp.ones_like(cs, dtype=bool)
+                # Phase 2 (first candidate rejected): all α via the shared
+                # multi-candidate scan.  Only defect-certified candidates are
+                # eligible; accept-first-improving is only faithful if every
+                # candidate EARLIER in the schedule than the winner has a
+                # known (exact) cost.  If an uncertified candidate precedes
+                # the first certified-improving one — or nothing certifies at
+                # all (the Newton-Picard sweeps diverge far from the
+                # linearization point) — fall back to the exact sequential
+                # rollouts instead of silently creeping along tiny certified
+                # α.  The branches only *execute* when taken (lax.cond) on
+                # unbatched solves; under vmap they lower to selects and all
+                # run — 'defect' targets long single-instance horizons, where
+                # that is moot (and 'auto' only picks it there).
+                def phase2(_):
+                    X_c, U_c, costs, defects = linesearch_defect_rollouts(
+                        system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                        iters=config.defect_iters,
+                        engine=config.defect_engine, exit_tol=exit_tol,
+                    )
+                    certified = defects < config.defect_tol
+                    acc_par = ((costs <= s["cost"]) & jnp.isfinite(costs)
+                               & certified)
+                    idx_par = jnp.argmax(acc_par)
+                    preceding_uncertified = jnp.any(
+                        ~certified & (jnp.arange(n_alpha) < idx_par))
+                    par_ok = jnp.any(acc_par) & ~preceding_uncertified
 
-                def keep(_):
-                    return X_c, U_c, costs, certified
+                    def exact(_):
+                        Xs, Us, cs = linesearch_rollouts(
+                            system, x0, alphas, s["X"], s["U"], u_ff, K)
+                        return Xs, Us, cs, jnp.ones_like(cs, dtype=bool)
+
+                    def keep(_):
+                        return X_c, U_c, costs, certified
+
+                    return jax.lax.cond(par_ok, keep, exact, None)
 
                 X_c, U_c, costs, certified = jax.lax.cond(
-                    par_ok, keep, exact, None)
+                    ok1, phase1, phase2, None)
             else:
                 X_c, U_c, costs = linesearch_rollouts(
                     system, x0, alphas, s["X"], s["U"], u_ff, K,
@@ -362,7 +458,7 @@ def solve(
 
             def accepted(s):
                 k = s["k"]
-                if config.rollout == "pallas":
+                if rollout_mode == "pallas":
                     # Materialize only the accepted α's trajectory.
                     X_new, U_new, _ = closed_loop_rollout_pallas(
                         system, x0, alphas[idx], s["X"], s["U"], u_ff, K

@@ -99,7 +99,8 @@ def test_loose_limits_match_unconstrained():
 def test_limits_config_validation():
     with pytest.raises(ValueError, match="together"):
         it.IlqrConfig(u_min=-1.0)
-    with pytest.raises(ValueError, match="sequential backward"):
-        it.IlqrConfig(u_min=-1.0, u_max=1.0, backward="pscan")
+    # limits now compose with the parallel backward (frozen-active-set
+    # hybrid, ops/limited_parallel.py) — pscan/pallas are accepted.
+    it.IlqrConfig(u_min=-1.0, u_max=1.0, backward="pscan")
     with pytest.raises(ValueError, match="rollout='scan'"):
         it.IlqrConfig(u_min=-1.0, u_max=1.0, rollout="defect")

@@ -1,0 +1,108 @@
+"""Parallel (frozen-active-set) control-limited backward pass.
+
+Parity targets: `ilqr_tpu.ops.riccati.backward_pass_limited` (sequential
+per-step boxQP, Tassa et al. 2014) and, when no bound is active, the plain
+unconstrained backward.  No reference counterpart (the reference's only
+input-limit treatment is a commented-out log-barrier,
+`/root/reference/python/class_files/pendulum_sys.py:84-85`).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ilqr_tpu as it
+from ilqr_tpu.ops.limited_parallel import backward_pass_limited_parallel
+from ilqr_tpu.ops.linearize import linearize_trajectory
+from ilqr_tpu.ops.riccati import backward_pass, backward_pass_limited
+from ilqr_tpu.ops.rollout import linesearch_rollouts, rollout
+
+
+def _pendulum():
+    return it.make_pendulum(
+        0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=0.1 * jnp.eye(1),
+        Q_f=100 * jnp.eye(2), d=0.0, integrator="rk4")
+
+
+def test_inactive_bounds_match_unconstrained():
+    """With bounds so wide nothing clamps, the hybrid must equal the plain
+    unconstrained backward exactly (the active set stays empty and the first
+    sweep is the unconstrained pass)."""
+    sys_ = _pendulum()
+    N = 128
+    U = 0.3 * jnp.sin(jnp.linspace(0, 4, N))[:, None]
+    X, _ = rollout(sys_, jnp.zeros(2), U)
+    exp = linearize_trajectory(sys_, X, U)
+    lo, hi = jnp.array([-1e6]), jnp.array([1e6])
+    uff_p, K_p, _, ok = backward_pass_limited_parallel(
+        exp, U, lo, hi, 0.0, engine="xla")
+    uff_u, K_u, _, _ = backward_pass(exp, 0.0)
+    assert bool(ok)
+    assert jnp.allclose(uff_p, uff_u, atol=1e-4)
+    assert jnp.allclose(K_p, K_u, atol=1e-3)
+
+
+def test_saturated_direction_improves():
+    """On a heavily saturated nominal, the hybrid's candidates must include
+    an improving one (descent direction), like the sequential boxQP pass."""
+    sys_ = _pendulum()
+    N = 300
+    U = jnp.zeros((N, 1))
+    x0 = jnp.zeros(2)
+    X, c0 = rollout(sys_, x0, U)
+    exp = linearize_trajectory(sys_, X, U)
+    lo, hi = jnp.array([-2.0]), jnp.array([2.0])
+    alphas = jnp.asarray([0.5 ** i for i in range(10)])
+    uff, K, _, ok = backward_pass_limited_parallel(
+        exp, U, lo, hi, 0.0, engine="xla")
+    assert bool(ok)
+    assert bool(jnp.all(uff >= -2.0 - 1e-5) & jnp.all(uff <= 2.0 + 1e-5))
+    _, _, costs = linesearch_rollouts(sys_, x0, alphas, X, U, uff, K,
+                                      u_limits=(lo, hi))
+    assert float(jnp.min(costs)) < float(c0)
+
+
+def test_limited_solve_parity_pendulum():
+    """Torque-limited swing-up: the pscan-hybrid solve reaches the sequential
+    boxQP solve's optimum (within f32/active-set-path slack) and respects the
+    limits everywhere."""
+    sys_ = _pendulum()
+    x0, U0 = jnp.zeros(2), jnp.zeros((300, 1))
+    cfg_seq = it.IlqrConfig(maxiter=200, tol=1e-7, u_min=-2.0, u_max=2.0,
+                            backward="scan")
+    cfg_par = it.IlqrConfig(maxiter=200, tol=1e-7, u_min=-2.0, u_max=2.0,
+                            backward="pscan")
+    s_seq = it.solve(sys_, x0, U0, cfg_seq)
+    s_par = it.solve(sys_, x0, U0, cfg_par)
+    assert float(jnp.max(jnp.abs(s_par.U))) <= 2.0 + 1e-5
+    assert float(s_par.cost) <= 1.01 * float(s_seq.cost)
+
+
+def test_limited_solve_double_pendulum_regularized():
+    """Hard saturated problem (both solvers need adaptive regularization):
+    the hybrid must converge to at least the sequential optimum's quality."""
+    dp = it.make_double_pendulum(
+        0.01, [jnp.pi, 0.0, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])), R=0.1 * jnp.eye(2),
+        Q_f=jnp.diag(jnp.array([100.0, 100.0, 10.0, 10.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler")
+    U0 = jnp.zeros((250, 2))
+    common = dict(maxiter=400, tol=1e-7, u_min=-5.0, u_max=5.0,
+                  adaptive_reg=True, reg_init=1e-3)
+    s_seq = it.solve(dp, jnp.zeros(4), U0,
+                     it.IlqrConfig(backward="scan", **common))
+    s_par = it.solve(dp, jnp.zeros(4), U0,
+                     it.IlqrConfig(backward="pscan", **common))
+    assert int(s_par.status) == 1
+    assert float(jnp.max(jnp.abs(s_par.U))) <= 5.0 + 1e-4
+    assert float(s_par.cost) <= 1.05 * float(s_seq.cost)
+
+
+def test_limited_parallel_vmaps():
+    sys_ = _pendulum()
+    U0 = jnp.zeros((200, 1))
+    cfg = it.IlqrConfig(maxiter=40, tol=1e-6, u_min=-2.0, u_max=2.0,
+                        backward="pscan")
+    x0s = jnp.stack([jnp.zeros(2), jnp.array([0.4, 0.0])])
+    sols = jax.vmap(lambda x: it.solve(sys_, x, U0, cfg))(x0s)
+    assert bool(jnp.all(jnp.isfinite(sols.cost)))
+    assert float(jnp.max(jnp.abs(sols.U))) <= 2.0 + 1e-5
