@@ -226,43 +226,53 @@ def _augmented_traj_cost(system, cons, lams, mu, X, U, base_cost):
     return base_cost + pen
 
 
+def _al_stage_terms(cons, lg, lh, mu, x, u):
+    """Per-stage AL penalty gradient + Gauss-Newton Hessian terms
+    (p_x, p_u, p_xx, p_ux, p_uu) — the single-stage unit shared by
+    `_augment_expansion` and the horizon-sharded constrained-MS iteration
+    (`ilqr_tpu.parallel.horizon_solve`)."""
+    pen = lambda xx, uu: _stage_penalty(cons, lg, lh, mu, xx, uu)
+    p_x = jax.grad(pen, argnums=0)(x, u)
+    p_u = jax.grad(pen, argnums=1)(x, u)
+    # Gauss-Newton Hessian: mu * J' D J with D the active mask — assembled
+    # from constraint Jacobians, not the (discontinuous) penalty Hessian.
+    g = cons.stage_ineq(cons.params, x, u)
+    gx = jax.jacfwd(cons.stage_ineq, argnums=1)(cons.params, x, u)
+    gu = jax.jacfwd(cons.stage_ineq, argnums=2)(cons.params, x, u)
+    hx = jax.jacfwd(cons.stage_eq, argnums=1)(cons.params, x, u)
+    hu = jax.jacfwd(cons.stage_eq, argnums=2)(cons.params, x, u)
+    # Curvature mask: active if violated OR carrying a multiplier (ALTRO's
+    # projection set), NOT the exact-penalty set (lam + mu g > 0).  A point
+    # with lam > 0 just inside the boundary has zero exact curvature, and
+    # using that set lets the Newton step sprint through the kink — the
+    # quadratic model must keep such points stiff.
+    act = ((g >= 0.0) | (lg > 0.0)).astype(x.dtype)
+    p_xx = mu * (gx.T * act) @ gx + mu * hx.T @ hx
+    p_uu = mu * (gu.T * act) @ gu + mu * hu.T @ hu
+    p_ux = mu * (gu.T * act) @ gx + mu * hu.T @ hx
+    return p_x, p_u, p_xx, p_ux, p_uu
+
+
+def _al_terminal_terms(cons, lgti, lhte, mu, xN):
+    """Terminal AL penalty gradient + GN Hessian (t_x, t_xx)."""
+    tpen = lambda xx: _terminal_penalty(cons, lgti, lhte, mu, xx)
+    t_x = jax.grad(tpen)(xN)
+    gt = cons.terminal_ineq(cons.params, xN)
+    gtx = jax.jacfwd(cons.terminal_ineq, argnums=1)(cons.params, xN)
+    htx = jax.jacfwd(cons.terminal_eq, argnums=1)(cons.params, xN)
+    act_t = ((gt >= 0.0) | (lgti > 0.0)).astype(xN.dtype)
+    t_xx = mu * (gtx.T * act_t) @ gtx + mu * htx.T @ htx
+    return t_x, t_xx
+
+
 def _augment_expansion(exp: TrajectoryExpansion, cons, lams, mu, X, U
                        ) -> TrajectoryExpansion:
     """Add the AL penalty's gradient and Gauss-Newton Hessian to the
     trajectory expansion (constraint curvature dropped, as in ALTRO)."""
-
-    def stage_terms(lg, lh, x, u):
-        pen = lambda xx, uu: _stage_penalty(cons, lg, lh, mu, xx, uu)
-        p_x = jax.grad(pen, argnums=0)(x, u)
-        p_u = jax.grad(pen, argnums=1)(x, u)
-        # Gauss-Newton Hessian: mu * J' D J with D the active mask — assembled
-        # from constraint Jacobians, not the (discontinuous) penalty Hessian.
-        g = cons.stage_ineq(cons.params, x, u)
-        gx = jax.jacfwd(cons.stage_ineq, argnums=1)(cons.params, x, u)
-        gu = jax.jacfwd(cons.stage_ineq, argnums=2)(cons.params, x, u)
-        hx = jax.jacfwd(cons.stage_eq, argnums=1)(cons.params, x, u)
-        hu = jax.jacfwd(cons.stage_eq, argnums=2)(cons.params, x, u)
-        # Curvature mask: active if violated OR carrying a multiplier (ALTRO's
-        # projection set), NOT the exact-penalty set (lam + mu g > 0).  A point
-        # with lam > 0 just inside the boundary has zero exact curvature, and
-        # using that set lets the Newton step sprint through the kink — the
-        # quadratic model must keep such points stiff.
-        act = ((g >= 0.0) | (lg > 0.0)).astype(x.dtype)
-        p_xx = mu * (gx.T * act) @ gx + mu * hx.T @ hx
-        p_uu = mu * (gu.T * act) @ gu + mu * hu.T @ hu
-        p_ux = mu * (gu.T * act) @ gx + mu * hu.T @ hx
-        return p_x, p_u, p_xx, p_ux, p_uu
-
-    p_x, p_u, p_xx, p_ux, p_uu = jax.vmap(stage_terms)(
-        lams["gi"], lams["he"], X[:-1], U)
-
-    tpen = lambda xx: _terminal_penalty(cons, lams["gti"], lams["hte"], mu, xx)
-    t_x = jax.grad(tpen)(X[-1])
-    gt = cons.terminal_ineq(cons.params, X[-1])
-    gtx = jax.jacfwd(cons.terminal_ineq, argnums=1)(cons.params, X[-1])
-    htx = jax.jacfwd(cons.terminal_eq, argnums=1)(cons.params, X[-1])
-    act_t = ((gt >= 0.0) | (lams["gti"] > 0.0)).astype(X.dtype)
-    t_xx = mu * (gtx.T * act_t) @ gtx + mu * htx.T @ htx
+    p_x, p_u, p_xx, p_ux, p_uu = jax.vmap(
+        lambda lg, lh, x, u: _al_stage_terms(cons, lg, lh, mu, x, u)
+    )(lams["gi"], lams["he"], X[:-1], U)
+    t_x, t_xx = _al_terminal_terms(cons, lams["gti"], lams["hte"], mu, X[-1])
 
     return TrajectoryExpansion(
         f_x=exp.f_x, f_u=exp.f_u,

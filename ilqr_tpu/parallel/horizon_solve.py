@@ -517,3 +517,260 @@ def solve_horizon_sharded(
     )
     X_full = jnp.concatenate([X, xN[None]], axis=0)
     return X_full, U, cost, k, status
+
+
+def _ms_al_iteration(system, cons, config, ms, alphas, axis, D, carry,
+                     lams, mu):
+    """One sharded AL-penalized multiple-shooting iteration (under shard_map).
+
+    `_ms_iteration` with the augmented-Lagrangian stage/terminal penalty
+    (`ilqr_tpu.constrained`) fused into the cost model: the per-stage GN
+    penalty terms add to the local expansion blocks (no extra communication
+    — multiplier slices are sharded with their stages), candidate scoring
+    psum-reduces the augmented cost, and the merit is augmented-cost +
+    ν·Σ|defect|.  Multipliers/μ are fixed for the whole inner loop (they are
+    closure-level inputs, not carry)."""
+    from ilqr_tpu.constrained import (
+        _al_stage_terms,
+        _al_terminal_terms,
+        _stage_penalty,
+        _terminal_penalty,
+    )
+
+    X_loc, x_N, U_loc, base, aug, prev_merit, nu, k, status = carry
+    lam_gi, lam_he, lam_gti, lam_hte = (
+        lams["gi"], lams["he"], lams["gti"], lams["hte"])
+    n_u = U_loc.shape[-1]
+    alph = jnp.asarray(alphas, dtype=X_loc.dtype)
+
+    # --- 1. Local defects/merit (one vmapped evaluation + one halo). ---
+    F = jax.vmap(lambda x, u: step(system, x, u))(X_loc, U_loc)
+    d_loc = F - _shift_with_halo(axis, D, X_loc, x_N)
+    defect = jax.lax.pmax(jnp.max(jnp.abs(d_loc)), axis)
+    sum_d = jax.lax.psum(jnp.sum(jnp.abs(d_loc)), axis)
+    merit = aug + nu * sum_d
+
+    # --- 2. Local linearization + AL augmentation (both local). ---
+    exp_blk = jax.vmap(lambda x, u: _stage_expansion(system, x, u))(X_loc, U_loc)
+    p_x, p_u, p_xx, p_ux, p_uu = jax.vmap(
+        lambda lg, lh, x, u: _al_stage_terms(cons, lg, lh, mu, x, u)
+    )(lam_gi, lam_he, X_loc, U_loc)
+    f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = exp_blk
+    exp_blk = (f_x, f_u, l_x + p_x, l_u + p_u,
+               l_xx + p_xx, l_ux + p_ux, l_uu + p_uu)
+    lf = lambda xx: system.terminal_cost(system.params, xx)
+    v_x = jax.grad(lf)(x_N)
+    v_xx = jax.hessian(lf)(x_N)
+    t_x, t_xx = _al_terminal_terms(cons, lam_gti, lam_hte, mu, x_N)
+    v_x, v_xx = v_x + t_x, v_xx + t_xx
+
+    # --- 3. Distributed defect-aware backward pass on the augmented LQ. ---
+    reg = jnp.asarray(0.0, X_loc.dtype)
+    u_ff, K = _sharded_backward(axis, D, exp_blk, v_x, v_xx, reg, n_u,
+                                defects=d_loc)
+
+    # --- 4. Multi-candidate affine update pass (exact, one prefix scan). ---
+    A_cl = f_x + f_u @ K
+    base_drive = (f_u @ u_ff[..., None])[..., 0] + d_loc
+    q = alph[None, :, None] * base_drive[:, None, :]
+    deltas_at, delta_N = _dist_affine_prefix_multi(axis, D, A_cl, q)
+    X_c = X_loc[:, None] + deltas_at
+    xN_c = x_N[None] + delta_N
+    U_c = (U_loc[:, None] + alph[None, :, None] * u_ff[:, None]
+           + jnp.einsum("bij,baj->bai", K, deltas_at))
+
+    # --- 5. Candidate scoring under base AND augmented cost. ---
+    stage = jax.vmap(jax.vmap(
+        lambda x, u: system.stage_cost(system.params, x, u)))(X_c, U_c)
+    pen = jax.vmap(
+        lambda lg, lh, xs, us: jax.vmap(
+            lambda x, u: _stage_penalty(cons, lg, lh, mu, x, u))(xs, us)
+    )(lam_gi, lam_he, X_c, U_c)
+    bases = jax.lax.psum(jnp.sum(stage, axis=0), axis) + jax.vmap(lf)(xN_c)
+    augs = (bases + jax.lax.psum(jnp.sum(pen, axis=0), axis)
+            + jax.vmap(lambda xx: _terminal_penalty(
+                cons, lam_gti, lam_hte, mu, xx))(xN_c))
+    F_c = jax.vmap(jax.vmap(lambda x, u: step(system, x, u)))(X_c, U_c)
+    halo_c = jax.lax.ppermute(
+        X_c[0], axis, [(i, (i - 1) % D) for i in range(D)])
+    is_last = jax.lax.axis_index(axis) == D - 1
+    halo_c = jnp.where(is_last, xN_c, halo_c)
+    X_next_c = jnp.concatenate([X_c[1:], halo_c[None]], axis=0)
+    sum_d_c = jax.lax.psum(jnp.sum(jnp.abs(F_c - X_next_c), axis=(0, 2)), axis)
+    merits = augs + nu * sum_d_c
+
+    accept = (merits <= merit) & jnp.isfinite(merits)
+    any_accept = jnp.any(accept)
+    idx = jnp.argmax(accept)
+
+    stationary = (defect <= ms.dtol) & (jnp.min(merits) >= merit - config.tol)
+    converged_now = (k > 0) & (jnp.abs(merit - prev_merit) <= config.tol) & (
+        defect <= ms.dtol)
+
+    X_new = jnp.where(any_accept, jnp.take(X_c, idx, axis=1), X_loc)
+    xN_new = jnp.where(any_accept, xN_c[idx], x_N)
+    U_new = jnp.where(any_accept, jnp.take(U_c, idx, axis=1), U_loc)
+    base_new = jnp.where(any_accept, bases[idx], base)
+    aug_new = jnp.where(any_accept, augs[idx], aug)
+    merit_out = jnp.where(any_accept, merit, jnp.inf)
+    nu_new = jnp.where(any_accept, nu,
+                       jnp.minimum(nu * ms.nu_factor, ms.nu_max))
+    status_new = jnp.where(
+        converged_now,
+        CONVERGED,
+        jnp.where(
+            any_accept,
+            status,
+            jnp.where(
+                stationary,
+                CONVERGED,
+                jnp.where(nu * ms.nu_factor > ms.nu_max,
+                          LINESEARCH_FAILED, status),
+            ),
+        ),
+    )
+    keep = converged_now
+    X_new = jnp.where(keep, X_loc, X_new)
+    xN_new = jnp.where(keep, x_N, xN_new)
+    U_new = jnp.where(keep, U_loc, U_new)
+    base_new = jnp.where(keep, base, base_new)
+    aug_new = jnp.where(keep, aug, aug_new)
+    return (X_new, xN_new, U_new, base_new, aug_new, merit_out, nu_new,
+            k + jnp.where(keep, 0, 1), status_new)
+
+
+@f32_matmuls
+def solve_constrained_ms_horizon_sharded(
+    system: System,
+    constraints,
+    x0: jnp.ndarray,
+    U_init: jnp.ndarray,
+    config: IlqrConfig,
+    mesh: Mesh,
+    axis: str = "time",
+    al_config=None,
+    ms=None,
+    X_init: jnp.ndarray | None = None,
+):
+    """Constrained (augmented-Lagrangian) multiple-shooting solve with every
+    inner stage sharded along the horizon.
+
+    The distributed counterpart of
+    `ilqr_tpu.constrained.solve_constrained_ms` (ALTRO's shape: AL outer loop
+    × infeasible-start GNMS inner solver): stage multipliers are sharded with
+    their stages, the GN penalty terms fuse into the local expansion blocks,
+    and each inner iteration costs the same O(D·(n_x² + n_alpha·n_x))
+    all-gathers as `solve_ms_horizon_sharded` — independent of N.  Multiplier
+    updates between outer iterations are embarrassingly parallel.
+
+    Returns (X, U, cost, violation, outer_iterations, status) unsharded;
+    status CONVERGED means violation ≤ al_config.ctol.
+    """
+    from ilqr_tpu.constrained import AlConfig, INFEASIBLE, _violations
+    from ilqr_tpu.shooting import MsConfig, _node_cost
+
+    if al_config is None:
+        al_config = AlConfig()
+    if ms is None:
+        ms = MsConfig()
+    D = mesh.shape[axis]
+    N = U_init.shape[0]
+    if N % D != 0:
+        raise ValueError(f"horizon N={N} not divisible by {D} shards")
+    alphas = tuple(config.alpha_schedule())
+    dtype = U_init.dtype
+    cons = constraints
+    p = cons.params
+    n_gi = jax.eval_shape(cons.stage_ineq, p, x0, U_init[0]).shape[0]
+    n_he = jax.eval_shape(cons.stage_eq, p, x0, U_init[0]).shape[0]
+
+    if X_init is None:
+        # Pod scale: no global rollout — constant-x0 start, gaps are fuel
+        # for the MS iteration.
+        X_init = jnp.broadcast_to(x0, (N + 1,) + x0.shape)
+    X_init = X_init.at[0].set(x0)
+
+    from ilqr_tpu.constrained import _augmented_traj_cost
+
+    carry_specs = (P(axis), P(), P(axis), P(), P(), P(), P(), P(), P())
+    lam_specs = dict(gi=P(axis), he=P(axis), gti=P(), hte=P())
+    body_sharded = jax.shard_map(
+        partial(_ms_al_iteration, system, cons, config, ms, alphas, axis, D),
+        mesh=mesh,
+        in_specs=(carry_specs, lam_specs, P()),
+        out_specs=carry_specs,
+        check_vma=False,
+    )
+
+    lams0 = dict(
+        gi=jnp.zeros((N, n_gi), dtype), he=jnp.zeros((N, n_he), dtype),
+        gti=jnp.zeros(jax.eval_shape(cons.terminal_ineq, p, x0).shape, dtype),
+        hte=jnp.zeros(jax.eval_shape(cons.terminal_eq, p, x0).shape, dtype),
+    )
+
+    def inner(X, xN, U, lams, mu):
+        base0 = _node_cost(system, jnp.concatenate([X, xN[None]], 0), U)
+        aug0 = _augmented_traj_cost(
+            system, cons, lams, mu, jnp.concatenate([X, xN[None]], 0), U,
+            base0)
+        init = (X, xN, U, base0, aug0, jnp.inf,
+                jnp.asarray(ms.nu0, dtype), jnp.asarray(0),
+                jnp.asarray(RUNNING))
+
+        def cond(c):
+            return (c[8] == RUNNING) & (c[7] < config.maxiter)
+
+        out = jax.lax.while_loop(
+            cond, lambda c: body_sharded(c, lams, mu), init)
+        return out[0], out[1], out[2], out[3], out[7]
+
+    def outer_cond(s):
+        return (s["status"] == RUNNING) & (s["j"] < al_config.max_outer)
+
+    def outer_body(s):
+        X, xN, U, base_cost, k_in = inner(
+            s["X"], s["xN"], s["U"], s["lams"], s["mu"])
+        X_full = jnp.concatenate([X, xN[None]], axis=0)
+        viol = _violations(cons, X_full, U)
+
+        def upd_stage(lg, lh, x, u):
+            g = cons.stage_ineq(p, x, u)
+            h = cons.stage_eq(p, x, u)
+            return (jnp.maximum(0.0, lg + s["mu"] * g), lh + s["mu"] * h)
+
+        lg, lh = jax.vmap(upd_stage)(s["lams"]["gi"], s["lams"]["he"], X, U)
+        gt = cons.terminal_ineq(p, xN)
+        ht = cons.terminal_eq(p, xN)
+        lgt = jnp.maximum(0.0, s["lams"]["gti"] + s["mu"] * gt)
+        lht = s["lams"]["hte"] + s["mu"] * ht
+        clamp = lambda l: jnp.clip(l, -al_config.lam_max, al_config.lam_max)
+        lams = dict(gi=clamp(lg), he=clamp(lh), gti=clamp(lgt), hte=clamp(lht))
+
+        feasible = viol <= al_config.ctol
+        stalled = (s["mu"] >= al_config.mu_max) & (
+            viol >= 0.99 * s["violation"])
+        status = jnp.where(
+            feasible, CONVERGED, jnp.where(stalled, INFEASIBLE, RUNNING))
+        improving = viol <= al_config.viol_decrease * s["violation"]
+        mu_next = jnp.where(
+            improving, s["mu"],
+            jnp.minimum(s["mu"] * al_config.mu_factor, al_config.mu_max))
+        return {
+            **s, "X": X, "xN": xN, "U": U, "cost": base_cost,
+            "violation": viol, "lams": lams, "mu": mu_next,
+            "j": s["j"] + 1, "status": status,
+        }
+
+    init = dict(
+        X=X_init[:-1], xN=X_init[-1], U=U_init,
+        cost=jnp.asarray(jnp.inf, dtype),
+        violation=jnp.asarray(jnp.inf, dtype),
+        lams=lams0, mu=jnp.asarray(al_config.mu0, dtype),
+        j=jnp.asarray(0), status=jnp.asarray(RUNNING),
+    )
+    s = jax.lax.while_loop(outer_cond, outer_body, init)
+    status = jnp.where(
+        (s["status"] == RUNNING) & (s["j"] >= al_config.max_outer),
+        MAXITER, s["status"])
+    X_full = jnp.concatenate([s["X"], s["xN"][None]], axis=0)
+    return X_full, s["U"], s["cost"], s["violation"], s["j"], status

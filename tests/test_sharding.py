@@ -138,3 +138,70 @@ def test_solve_multistart_sharded_matches_unsharded():
     best_s, _ = solve_multistart(sys_, x0, U_inits, cfg, mesh=mesh)
     np.testing.assert_allclose(float(best_s.cost), float(best_u.cost),
                                rtol=1e-6)
+
+
+def test_solve_constrained_ms_horizon_sharded_matches_unsharded():
+    """Distributed AL×GNMS (`solve_constrained_ms_horizon_sharded`) reaches
+    the unsharded `solve_constrained_ms` optimum on the torque-limited
+    swing-up (multipliers sharded with their stages)."""
+    from ilqr_tpu.constrained import (
+        AlConfig,
+        box_control_constraints,
+        solve_constrained_ms,
+    )
+    from ilqr_tpu.parallel.horizon_solve import (
+        solve_constrained_ms_horizon_sharded,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], jnp.eye(2),
+                            0.1 * jnp.eye(1), 100 * jnp.eye(2), d=0.0,
+                            integrator="rk4")
+    cons = box_control_constraints(-2.0, 2.0)
+    N = 256
+    x0, U0 = jnp.zeros(2), jnp.zeros((N, 1))
+    cfg = it.IlqrConfig(maxiter=40, tol=1e-6)
+    alc = AlConfig(max_outer=8, ctol=1e-3)
+    sol_u = solve_constrained_ms(sys_, cons, x0, U0, config=cfg,
+                                 al_config=alc)
+    mesh = make_mesh({"time": 8})
+    X, U, cost, viol, j, status = jax.jit(
+        lambda x, u: solve_constrained_ms_horizon_sharded(
+            sys_, cons, x, u, cfg, mesh, al_config=alc))(x0, U0)
+    assert int(status) == 1
+    assert float(viol) <= 1.5e-3
+    np.testing.assert_allclose(float(cost), float(sol_u.cost), rtol=2e-2)
+    assert float(jnp.max(jnp.abs(U))) <= 2.0 + 2e-3
+
+
+def test_sharded_ms_allgather_payload_independent_of_horizon():
+    """The sharded MS solve's collectives move O(D·n_x²) per iteration —
+    the all-gather payload shapes must be IDENTICAL at different horizon
+    lengths (communication independent of N, SURVEY §5's halo design)."""
+    import re
+
+    from ilqr_tpu.parallel.horizon_solve import solve_ms_horizon_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], jnp.eye(2), jnp.eye(1),
+                            jnp.zeros((2, 2)), d=0.0, integrator="rk4")
+    mesh = make_mesh({"time": 8})
+    cfg = it.IlqrConfig(maxiter=3, tol=1e-6)
+
+    def collective_shapes(N):
+        txt = jax.jit(
+            lambda x, u: solve_ms_horizon_sharded(sys_, x, u, cfg, mesh)[2]
+        ).lower(jnp.zeros(2), jnp.zeros((N, 1))).compile().as_text()
+        ag = sorted(re.findall(r"= (\S+) all-gather", txt))
+        cp = re.findall(r"= (\S+) collective-permute", txt)
+        return ag, len(cp)
+
+    ag_small, n_halo_small = collective_shapes(64)
+    ag_big, n_halo_big = collective_shapes(512)
+    assert ag_small == ag_big, (ag_small, ag_big)
+    assert n_halo_small == n_halo_big
+    # The MS iteration needs exactly one halo exchange per defect evaluation
+    # (nominal + candidates): a handful, not O(N).
+    assert 0 < n_halo_big <= 8
