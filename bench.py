@@ -142,6 +142,30 @@ def main():
     log(metric="linesearch_sequential_ms", value=t_ls_seq * 1e3, N=N_ls)
     log(metric="linesearch_defect_pallas_ms", value=t_ls_def * 1e3, N=N_ls)
 
+    # --- Secondary: control-limited backward — sequential per-step boxQP vs
+    # the frozen-active-set parallel pass (VERDICT r1 item 6). ---
+    from ilqr_tpu.ops.limited_parallel import backward_pass_limited_parallel
+    from ilqr_tpu.ops.riccati import backward_pass_limited
+
+    N_lim = 32768
+    sys_pl = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2),
+                              R=jnp.eye(1), Q_f=jnp.zeros((2, 2)), d=0.0,
+                              integrator="rk4")
+    U_lim = jnp.clip(
+        2.5 * jnp.sin(jnp.linspace(0, 40, N_lim))[:, None], -2.0, 2.0)
+    X_lim, _ = jax.jit(lambda u: it.rollout(sys_pl, jnp.zeros(2), u))(U_lim)
+    exp_lim = jax.block_until_ready(jax.jit(
+        lambda x, u: linearize_trajectory(sys_pl, x, u))(X_lim, U_lim))
+    lo_l, hi_l = jnp.array([-2.0]), jnp.array([2.0])
+    lb_seq = jax.jit(lambda e, u: backward_pass_limited(
+        e, u, lo_l, hi_l, 0.0)[0])
+    lb_par = jax.jit(lambda e, u: backward_pass_limited_parallel(
+        e, u, lo_l, hi_l, 0.0)[0])
+    t_lb_seq = timeit(lb_seq, exp_lim, U_lim, reps=5)
+    t_lb_par = timeit(lb_par, exp_lim, U_lim, reps=5)
+    log(metric="limited_backward_sequential_ms", value=t_lb_seq * 1e3, N=N_lim)
+    log(metric="limited_backward_parallel_ms", value=t_lb_par * 1e3, N=N_lim)
+
     # --- Secondary: parallel-in-time INITIAL rollout vs sequential chain. ---
     from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 

@@ -33,7 +33,20 @@ SCAN_UNROLL = 16
 
 
 def scan_unroll(tpu_value: int = SCAN_UNROLL) -> int:
-    return tpu_value if jax.default_backend() == "tpu" else 1
+    """Unroll factor for the sequential scans (TPU only).
+
+    ILQR_TPU_SCAN_UNROLL overrides the default — compile time of large
+    programs (e.g. a full MPC loop) grows with the unrolled body size, so
+    latency-insensitive runs can trade a few % runtime for much faster
+    compiles with a smaller factor."""
+    import os
+
+    if jax.default_backend() != "tpu":
+        return 1
+    env = os.environ.get("ILQR_TPU_SCAN_UNROLL")
+    if env:
+        return max(1, min(int(env), tpu_value))
+    return tpu_value
 
 
 @f32_matmuls
