@@ -234,6 +234,12 @@ def main():
                                   R=jnp.eye(1), Q_f=jnp.zeros((2, 2)), d=0.01,
                                   integrator="midpoint")
     N_sim_1, H = 400, 200
+    # run_mpc/_rti auto-resolve to the parallel-in-time inner chains on TPU
+    # (mpc._mpc_auto_config — measured 0.59/0.32 ms/step vs 8.0/7.2
+    # sequential).  Cap scan unroll for these composite programs: their
+    # XLA compile time is pathological at unroll=16 (~35 min through the
+    # axon tunnel) for a few-percent runtime difference.
+    os.environ["ILQR_TPU_SCAN_UNROLL"] = "4"
     cfg_1 = it.IlqrConfig(maxiter=10, tol=1e-5)
     mpc_1 = jax.jit(lambda x: run_mpc(
         sys_pend_s, sys_pend_p, x, jnp.zeros((H, 1)), N_sim_1, cfg_1).cost)
@@ -248,6 +254,7 @@ def main():
     t_rti = timeit(rti_1, x0_1, reps=3, warmup=1) / N_sim_1
     log(metric="mpc_step_latency_ms", value=t_rti * 1e3, N_sim=N_sim_1,
         horizon=H, mode="rti")
+    del os.environ["ILQR_TPU_SCAN_UNROLL"]
     # RTI counts only if the closed loop still reaches the same quality.
     c_full, c_rti = float(mpc_1(x0_1)), float(rti_1(x0_1))
     log(metric="mpc_closed_loop_cost", full=c_full, rti=c_rti)

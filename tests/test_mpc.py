@@ -153,3 +153,31 @@ def test_mpc_barrier_torque_limited_swingup():
     assert abs(xN[1]) < 0.1
     # Relaxed barrier admits O(mu/ lim)-scale excursions; keep a loose bound.
     assert float(jnp.max(jnp.abs(res.U))) <= lim + 5e-2
+
+
+def test_mpc_parallel_inner_engines_match_sequential():
+    """The parallel-in-time inner chains (pscan backward + defect rollouts —
+    what `mpc._mpc_auto_config` selects on TPU) must reproduce the
+    sequential engines' closed loop (measured 0.32-0.59 ms/step vs 7.2-8.0
+    on v5e; here: CPU equivalence)."""
+    import ilqr_tpu as it
+    from ilqr_tpu.mpc import run_mpc
+
+    s_s = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                           Q_f=jnp.zeros((2, 2)), d=0.01,
+                           integrator="backward_euler")
+    s_p = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                           Q_f=jnp.zeros((2, 2)), d=0.01,
+                           integrator="midpoint")
+    x0 = jnp.array([1.0, 0.0])
+    U0 = jnp.zeros((60, 1))
+    seq = run_mpc(s_s, s_p, x0, U0, 80,
+                  it.IlqrConfig(maxiter=6, tol=1e-5, rollout="scan",
+                                init_rollout="scan", backward="scan"))
+    par = run_mpc(s_s, s_p, x0, U0, 80,
+                  it.IlqrConfig(maxiter=6, tol=1e-5, rollout="defect",
+                                init_rollout="defect", backward="pscan",
+                                defect_engine="xla"))
+    np.testing.assert_allclose(float(par.cost), float(seq.cost), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(par.X[-1]), np.asarray(seq.X[-1]),
+                               atol=1e-2)
