@@ -73,6 +73,7 @@ def defect_rollout(
     iters: int = 6,
     engine: str = "auto",
     exit_tol: float = 0.0,
+    u_limits=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closed-loop line-search rollout by parallel defect correction.
 
@@ -86,7 +87,14 @@ def defect_rollout(
 
     def controls(X):
         dx = X[:-1] - X_old[:-1]
-        return U_old + alpha * u_ff + (K @ dx[..., None])[..., 0]
+        u = U_old + alpha * u_ff + (K @ dx[..., None])[..., 0]
+        if u_limits is not None:
+            # Hard control limits: clamped-dim feedback rows are zero in the
+            # limited backward's K, so A_cl stays the correct sweep Jacobian
+            # for the frozen active set; the clip handles newly-saturating
+            # deviations and the defect certificate guards the rest.
+            u = jnp.clip(u, u_limits[0], u_limits[1])
+        return u
 
     def eval_f(X, U):
         return jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
@@ -181,7 +189,7 @@ def open_loop_defect_rollout(
 @f32_matmuls
 def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
                                iters: int = 6, engine: str = "auto",
-                               exit_tol: float = 0.0):
+                               exit_tol: float = 0.0, u_limits=None):
     """All α candidates via defect-correction sweeps with a SHARED scan.
 
     The linearized closed-loop transition A_cl = f_x + f_u K is independent of
@@ -202,8 +210,11 @@ def linesearch_defect_rollouts(system, x0, alphas, X_old, U_old, u_ff, K, exp,
 
     def controls(X):
         dx = X[:, :-1] - X_old[None, :-1]
-        return (U_old[None] + alphas[:, None, None] * u_ff[None]
-                + jnp.einsum("kij,akj->aki", K, dx))
+        u = (U_old[None] + alphas[:, None, None] * u_ff[None]
+             + jnp.einsum("kij,akj->aki", K, dx))
+        if u_limits is not None:
+            u = jnp.clip(u, u_limits[0], u_limits[1])
+        return u
 
     def eval_f(X, U):
         return jax.vmap(

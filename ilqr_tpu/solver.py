@@ -148,9 +148,10 @@ class IlqrConfig:
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
         if self.u_min is not None:
-            if self.rollout not in ("auto", "scan"):
-                raise ValueError("control limits require rollout='scan' "
-                                 "(or 'auto', which resolves to 'scan')")
+            if self.rollout not in ("auto", "scan", "defect"):
+                raise ValueError(
+                    "control limits require rollout='scan' or 'defect' "
+                    "(the pallas rollout kernels do not clamp)")
         if self.noise is not None and self.backward not in ("auto", "scan"):
             raise ValueError(
                 "noise (iLQG) requires the sequential backward pass "
@@ -169,8 +170,6 @@ class IlqrConfig:
         """
         if self.rollout != "auto":
             return self.rollout
-        if self.u_min is not None:
-            return "scan"
         if jax.default_backend() == "tpu" and N >= _DEFECT_LS_N:
             return "defect"
         return "scan"
@@ -394,7 +393,7 @@ def solve(
                 X1, U1, cost1, d1 = defect_rollout(
                     system, x0, alphas[0], s["X"], s["U"], u_ff, K, A_cl,
                     iters=config.defect_iters, engine=config.defect_engine,
-                    exit_tol=exit_tol)
+                    exit_tol=exit_tol, u_limits=limits)
                 ok1 = ((d1 < config.defect_tol) & jnp.isfinite(cost1)
                        & (cost1 <= s["cost"]))
 
@@ -424,6 +423,7 @@ def solve(
                         system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
                         iters=config.defect_iters,
                         engine=config.defect_engine, exit_tol=exit_tol,
+                        u_limits=limits,
                     )
                     certified = defects < config.defect_tol
                     acc_par = ((costs <= s["cost"]) & jnp.isfinite(costs)
@@ -435,7 +435,8 @@ def solve(
 
                     def exact(_):
                         Xs, Us, cs = linesearch_rollouts(
-                            system, x0, alphas, s["X"], s["U"], u_ff, K)
+                            system, x0, alphas, s["X"], s["U"], u_ff, K,
+                            u_limits=limits)
                         return Xs, Us, cs, jnp.ones_like(cs, dtype=bool)
 
                     def keep(_):

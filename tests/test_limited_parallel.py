@@ -106,3 +106,19 @@ def test_limited_parallel_vmaps():
     sols = jax.vmap(lambda x: it.solve(sys_, x, U0, cfg))(x0s)
     assert bool(jnp.all(jnp.isfinite(sols.cost)))
     assert float(jnp.max(jnp.abs(sols.U))) <= 2.0 + 1e-5
+
+
+def test_limited_solve_with_defect_rollout_matches_scan():
+    """Clamped defect-correction rollouts (u_limits clipping inside the
+    Newton-Picard sweeps) reproduce the sequential clamped rollouts: same
+    optimum, same iteration count, feasible everywhere."""
+    sys_ = _pendulum()
+    x0, U0 = jnp.zeros(2), jnp.zeros((300, 1))
+    base = dict(maxiter=200, tol=1e-7, u_min=-2.0, u_max=2.0,
+                backward="scan")
+    s_scan = it.solve(sys_, x0, U0, it.IlqrConfig(rollout="scan", **base))
+    s_def = it.solve(sys_, x0, U0, it.IlqrConfig(
+        rollout="defect", init_rollout="defect", **base))
+    assert float(jnp.max(jnp.abs(s_def.U))) <= 2.0 + 1e-5
+    assert abs(float(s_def.cost) - float(s_scan.cost)) < 1e-3
+    assert int(s_def.iterations) == int(s_scan.iterations)
