@@ -333,6 +333,8 @@ def solve(
         cost_trace=nan,
         alpha_trace=nan,
         grad_trace=nan,
+        # Defect-line-search latch (see the rollout_mode == 'defect' branch).
+        use_defect=jnp.asarray(rollout_mode == "defect"),
     )
 
     def cond(s):
@@ -373,6 +375,7 @@ def solve(
                     system, x0, alphas, s["X"], s["U"], u_ff, K
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
+                par_success = jnp.asarray(True)
             elif rollout_mode == "defect":
                 from ilqr_tpu.ops.parallel_rollout import (
                     defect_rollout,
@@ -380,78 +383,104 @@ def solve(
                 )
 
                 n_alpha = alphas.shape[0]
-                exit_tol = 1e-3 * config.defect_tol
-                A_cl = exp.f_x + exp.f_u @ K
+                # Scale-aware tolerances: certifying ABSOLUTE defects
+                # penalizes large-state systems (a 100k-step cartpole drifts
+                # to |x|~1e2 and never certifies at 1e-3) — measure against
+                # the current trajectory's scale instead.
+                scale = 1.0 + jnp.max(jnp.abs(s["X"]))
+                cert_tol = config.defect_tol * scale
+                exit_tol = 1e-3 * cert_tol
 
-                # Phase 1: the FIRST candidate in the backtracking schedule
-                # alone (it is the accepted one in almost every iteration of a
-                # healthy solve, and accept-first-improving means accepting it
-                # needs no knowledge of the later candidates).  This is the
-                # cartpole-class fix: sweep cost is dominated by dynamics
-                # evaluation, so sweeping one candidate instead of the whole
-                # schedule is ~n_alpha× cheaper.
-                X1, U1, cost1, d1 = defect_rollout(
-                    system, x0, alphas[0], s["X"], s["U"], u_ff, K, A_cl,
-                    iters=config.defect_iters, engine=config.defect_engine,
-                    exit_tol=exit_tol, u_limits=limits)
-                ok1 = ((d1 < config.defect_tol) & jnp.isfinite(cost1)
-                       & (cost1 <= s["cost"]))
+                def exact_ls(_):
+                    Xs, Us, cs = linesearch_rollouts(
+                        system, x0, alphas, s["X"], s["U"], u_ff, K,
+                        u_limits=limits)
+                    return (Xs, Us, cs, jnp.ones_like(cs, dtype=bool),
+                            jnp.asarray(False))
 
-                def phase1(_):
-                    Xs = jnp.broadcast_to(X1, (n_alpha,) + X1.shape)
-                    Us = jnp.broadcast_to(U1, (n_alpha,) + U1.shape)
-                    cs = jnp.full((n_alpha,), jnp.inf,
-                                  dtype=cost1.dtype).at[0].set(cost1)
-                    cert = jnp.zeros((n_alpha,), bool).at[0].set(True)
-                    return Xs, Us, cs, cert
+                def defect_ls(_):
+                    A_cl = exp.f_x + exp.f_u @ K
 
-                # Phase 2 (first candidate rejected): all α via the shared
-                # multi-candidate scan.  Only defect-certified candidates are
-                # eligible; accept-first-improving is only faithful if every
-                # candidate EARLIER in the schedule than the winner has a
-                # known (exact) cost.  If an uncertified candidate precedes
-                # the first certified-improving one — or nothing certifies at
-                # all (the Newton-Picard sweeps diverge far from the
-                # linearization point) — fall back to the exact sequential
-                # rollouts instead of silently creeping along tiny certified
-                # α.  The branches only *execute* when taken (lax.cond) on
-                # unbatched solves; under vmap they lower to selects and all
-                # run — 'defect' targets long single-instance horizons, where
-                # that is moot (and 'auto' only picks it there).
-                def phase2(_):
-                    X_c, U_c, costs, defects = linesearch_defect_rollouts(
-                        system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                    # Phase 1: the FIRST candidate in the backtracking
+                    # schedule alone (it is the accepted one in almost every
+                    # iteration of a healthy solve, and accept-first-improving
+                    # means accepting it needs no knowledge of the later
+                    # candidates).  Sweep cost is dominated by dynamics
+                    # evaluation, so sweeping one candidate instead of the
+                    # whole schedule is ~n_alpha× cheaper.
+                    X1, U1, cost1, d1 = defect_rollout(
+                        system, x0, alphas[0], s["X"], s["U"], u_ff, K, A_cl,
                         iters=config.defect_iters,
-                        engine=config.defect_engine, exit_tol=exit_tol,
-                        u_limits=limits,
-                    )
-                    certified = defects < config.defect_tol
-                    acc_par = ((costs <= s["cost"]) & jnp.isfinite(costs)
-                               & certified)
-                    idx_par = jnp.argmax(acc_par)
-                    preceding_uncertified = jnp.any(
-                        ~certified & (jnp.arange(n_alpha) < idx_par))
-                    par_ok = jnp.any(acc_par) & ~preceding_uncertified
+                        engine=config.defect_engine,
+                        exit_tol=exit_tol, u_limits=limits)
+                    ok1 = ((d1 < cert_tol) & jnp.isfinite(cost1)
+                           & (cost1 <= s["cost"]))
 
-                    def exact(_):
-                        Xs, Us, cs = linesearch_rollouts(
-                            system, x0, alphas, s["X"], s["U"], u_ff, K,
-                            u_limits=limits)
-                        return Xs, Us, cs, jnp.ones_like(cs, dtype=bool)
+                    def phase1(_):
+                        Xs = jnp.broadcast_to(X1, (n_alpha,) + X1.shape)
+                        Us = jnp.broadcast_to(U1, (n_alpha,) + U1.shape)
+                        cs = jnp.full((n_alpha,), jnp.inf,
+                                      dtype=cost1.dtype).at[0].set(cost1)
+                        cert = jnp.zeros((n_alpha,), bool).at[0].set(True)
+                        return Xs, Us, cs, cert, jnp.asarray(True)
 
-                    def keep(_):
-                        return X_c, U_c, costs, certified
+                    # Phase 2 (first candidate rejected): all α via the
+                    # shared multi-candidate scan.  Only defect-certified
+                    # candidates are eligible; accept-first-improving is only
+                    # faithful if every candidate EARLIER in the schedule
+                    # than the winner has a known (exact) cost.  If an
+                    # uncertified candidate precedes the first
+                    # certified-improving one — or nothing certifies at all
+                    # (the Newton-Picard sweeps diverge far from the
+                    # linearization point) — fall back to the exact
+                    # sequential rollouts instead of silently creeping along
+                    # tiny certified α.  The branches only *execute* when
+                    # taken (lax.cond) on unbatched solves; under vmap they
+                    # lower to selects and all run — 'defect' targets long
+                    # single-instance horizons, where that is moot (and
+                    # 'auto' only picks it there).
+                    def phase2(_):
+                        X_c, U_c, costs, defects = linesearch_defect_rollouts(
+                            system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                            iters=config.defect_iters,
+                            engine=config.defect_engine, exit_tol=exit_tol,
+                            u_limits=limits,
+                        )
+                        certified = defects < cert_tol
+                        acc_par = ((costs <= s["cost"]) & jnp.isfinite(costs)
+                                   & certified)
+                        idx_par = jnp.argmax(acc_par)
+                        preceding_uncertified = jnp.any(
+                            ~certified & (jnp.arange(n_alpha) < idx_par))
+                        par_ok = jnp.any(acc_par) & ~preceding_uncertified
 
-                    return jax.lax.cond(par_ok, keep, exact, None)
+                        def exact(_):
+                            Xs, Us, cs, cert, _ = exact_ls(None)
+                            return Xs, Us, cs, cert, jnp.asarray(False)
 
-                X_c, U_c, costs, certified = jax.lax.cond(
-                    ok1, phase1, phase2, None)
+                        def keep(_):
+                            return X_c, U_c, costs, certified, jnp.asarray(True)
+
+                        return jax.lax.cond(par_ok, keep, exact, None)
+
+                    return jax.lax.cond(ok1, phase1, phase2, None)
+
+                # Latch: once the parallel path has failed certification and
+                # paid the exact fallback, later iterations go straight to
+                # the exact line search — a problem that left the contraction
+                # regime would otherwise pay phase1+phase2+fallback EVERY
+                # iteration (measured 4.5 s vs 3.6 s pure-scan on the
+                # 100k-step cartpole before this latch).
+                X_c, U_c, costs, certified, par_success = jax.lax.cond(
+                    s["use_defect"], defect_ls, exact_ls, None)
             else:
                 X_c, U_c, costs = linesearch_rollouts(
                     system, x0, alphas, s["X"], s["U"], u_ff, K,
                     u_limits=config.limit_arrays(n_u, U_init.dtype),
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
+                par_success = jnp.asarray(True)
+            use_defect_next = s["use_defect"] & par_success
             accept = (costs <= s["cost"]) & jnp.isfinite(costs) & bp_ok & certified
             any_accept = jnp.any(accept)
             # First improving α — same order as the reference backtracking loop.
@@ -483,6 +512,7 @@ def solve(
                     "cost_trace": s["cost_trace"].at[k].set(new_cost),
                     "alpha_trace": s["alpha_trace"].at[k].set(alphas[idx]),
                     "grad_trace": s["grad_trace"].at[k].set(jnp.max(jnp.abs(u_ff))),
+                    "use_defect": use_defect_next,
                 }
 
             def rejected(s):
@@ -497,6 +527,7 @@ def solve(
                         "k": s["k"] + 1,
                         "prev_cost": jnp.inf,  # don't trigger spurious convergence
                         "status": jnp.where(fail, LINESEARCH_FAILED, RUNNING),
+                        "use_defect": use_defect_next,
                     }
                 # Parity behavior: line-search failure stops the solve
                 # (`iLQR_class.py:304-307`).
