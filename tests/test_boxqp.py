@@ -102,5 +102,9 @@ def test_limits_config_validation():
     # limits now compose with the parallel backward (frozen-active-set
     # hybrid, ops/limited_parallel.py) — pscan/pallas are accepted.
     it.IlqrConfig(u_min=-1.0, u_max=1.0, backward="pscan")
-    with pytest.raises(ValueError, match="rollout='scan'"):
-        it.IlqrConfig(u_min=-1.0, u_max=1.0, rollout="defect")
+    # ...and with the clamped defect-correction rollouts (the defect
+    # controls() map clips and the limited backward zeroes clamped K rows).
+    it.IlqrConfig(u_min=-1.0, u_max=1.0, rollout="defect")
+    # The pallas rollout kernels do not clamp — still rejected.
+    with pytest.raises(ValueError, match="pallas"):
+        it.IlqrConfig(u_min=-1.0, u_max=1.0, rollout="pallas")
