@@ -70,11 +70,14 @@ class IlqrConfig:
     # Line-search rollout engine: 'scan' = one vmapped XLA rollout batch over
     # all α; 'pallas' = fused sequential kernels (candidate costs in one
     # chain, then one materializing rollout for the accepted α); 'defect' =
-    # parallel-in-time Newton-Picard sweeps (O(log N) depth) with a two-phase
-    # schedule (first-α alone, then the full candidate batch only if it is
-    # rejected) and an exact-sequential fallback when certification fails.
-    # 'auto' picks 'defect' on TPU above N ≥ _DEFECT_LS_N (unconstrained) and
-    # 'scan' otherwise.
+    # parallel-in-time Newton-Picard sweeps (O(log N) depth); 'chunked' =
+    # multiple-shooting rollouts (exact nonlinear chunks of length ~√N
+    # vmapped, O(C) boundary Newton correction — larger contraction region
+    # than 'defect' on drift-prone systems, ops/chunked_rollout.py).  The
+    # parallel modes share a two-phase schedule (first-α alone, then the full
+    # candidate batch only if it is rejected) and an exact-sequential fallback
+    # when certification fails.  'auto' picks 'chunked' on TPU above
+    # N ≥ _DEFECT_LS_N (unconstrained) and 'scan' otherwise.
     rollout: str = "auto"
     # Defect-correction rollout settings (rollout='defect'): max Newton-Picard
     # sweeps per rollout and the certification threshold above which a
@@ -84,6 +87,9 @@ class IlqrConfig:
     # tol — with quadratic Newton contraction it costs at most ~1 extra sweep).
     defect_iters: int = 8
     defect_tol: float = 1e-3
+    # Chunk length for rollout='chunked' (0 = auto ≈ √N, clamped to
+    # [16, 512] — ops/chunked_rollout.py::auto_chunk_len).
+    chunk_len: int = 0
     # Initial open-loop rollout engine: 'scan' (sequential, exact) or
     # 'defect' (parallel-in-time Newton sweeps, ops/parallel_rollout.py;
     # O(log N) depth instead of the O(N) chain that dominates long-horizon
@@ -124,9 +130,9 @@ class IlqrConfig:
                 f"backward must be 'auto'|'scan'|'pscan'|'pallas', "
                 f"got {self.backward!r}"
             )
-        if self.rollout not in ("auto", "scan", "pallas", "defect"):
+        if self.rollout not in ("auto", "scan", "pallas", "defect", "chunked"):
             raise ValueError(
-                f"rollout must be 'auto'|'scan'|'pallas'|'defect', "
+                f"rollout must be 'auto'|'scan'|'pallas'|'defect'|'chunked', "
                 f"got {self.rollout!r}"
             )
         if self.init_rollout not in ("auto", "scan", "defect"):
@@ -148,10 +154,10 @@ class IlqrConfig:
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
         if self.u_min is not None:
-            if self.rollout not in ("auto", "scan", "defect"):
+            if self.rollout not in ("auto", "scan", "defect", "chunked"):
                 raise ValueError(
-                    "control limits require rollout='scan' or 'defect' "
-                    "(the pallas rollout kernels do not clamp)")
+                    "control limits require rollout='scan', 'defect' or "
+                    "'chunked' (the pallas rollout kernels do not clamp)")
         if self.noise is not None and self.backward not in ("auto", "scan"):
             raise ValueError(
                 "noise (iLQG) requires the sequential backward pass "
@@ -164,14 +170,16 @@ class IlqrConfig:
     def resolved_rollout(self, N: int) -> str:
         """Line-search engine after 'auto' resolution (static, trace-time).
 
-        'defect' pays off where the O(N) sequential chain dominates: TPU,
-        long horizon, no hard control limits (the defect controls() map does
-        not clamp), no stochastic rollouts.
+        The parallel-in-time engines pay off where the O(N) sequential chain
+        dominates: TPU, long horizon.  'chunked' is preferred over 'defect'
+        for 'auto' — same asymptotics, far larger contraction region (exact
+        nonlinear chunks), so it certifies where the per-step Newton-Picard
+        sweeps latch to the exact fallback (the 100k-step cartpole).
         """
         if self.rollout != "auto":
             return self.rollout
         if jax.default_backend() == "tpu" and N >= _DEFECT_LS_N:
-            return "defect"
+            return "chunked"
         return "scan"
 
     def resolved_init_rollout(self, N: int) -> str:
@@ -333,8 +341,8 @@ def solve(
         cost_trace=nan,
         alpha_trace=nan,
         grad_trace=nan,
-        # Defect-line-search latch (see the rollout_mode == 'defect' branch).
-        use_defect=jnp.asarray(rollout_mode == "defect"),
+        # Parallel-line-search latch (see the defect/chunked branch).
+        use_defect=jnp.asarray(rollout_mode in ("defect", "chunked")),
     )
 
     def cond(s):
@@ -376,11 +384,45 @@ def solve(
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
                 par_success = jnp.asarray(True)
-            elif rollout_mode == "defect":
-                from ilqr_tpu.ops.parallel_rollout import (
-                    defect_rollout,
-                    linesearch_defect_rollouts,
-                )
+            elif rollout_mode in ("defect", "chunked"):
+                if rollout_mode == "chunked":
+                    from ilqr_tpu.ops.chunked_rollout import (
+                        chunked_rollout,
+                        linesearch_chunked_rollouts,
+                    )
+
+                    def single_par(alpha, A_cl, exit_tol):
+                        return chunked_rollout(
+                            system, x0, alpha, s["X"], s["U"], u_ff, K, A_cl,
+                            sweeps=config.defect_iters,
+                            chunk_len=config.chunk_len,
+                            exit_tol=exit_tol, u_limits=limits)
+
+                    def multi_par(A_cl, exit_tol):
+                        return linesearch_chunked_rollouts(
+                            system, x0, alphas, s["X"], s["U"], u_ff, K, A_cl,
+                            sweeps=config.defect_iters,
+                            chunk_len=config.chunk_len,
+                            exit_tol=exit_tol, u_limits=limits)
+                else:
+                    from ilqr_tpu.ops.parallel_rollout import (
+                        defect_rollout,
+                        linesearch_defect_rollouts,
+                    )
+
+                    def single_par(alpha, A_cl, exit_tol):
+                        return defect_rollout(
+                            system, x0, alpha, s["X"], s["U"], u_ff, K, A_cl,
+                            iters=config.defect_iters,
+                            engine=config.defect_engine,
+                            exit_tol=exit_tol, u_limits=limits)
+
+                    def multi_par(A_cl, exit_tol):
+                        return linesearch_defect_rollouts(
+                            system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
+                            iters=config.defect_iters,
+                            engine=config.defect_engine,
+                            exit_tol=exit_tol, u_limits=limits)
 
                 n_alpha = alphas.shape[0]
                 # Scale-aware tolerances: certifying ABSOLUTE defects
@@ -408,11 +450,7 @@ def solve(
                     # candidates).  Sweep cost is dominated by dynamics
                     # evaluation, so sweeping one candidate instead of the
                     # whole schedule is ~n_alpha× cheaper.
-                    X1, U1, cost1, d1 = defect_rollout(
-                        system, x0, alphas[0], s["X"], s["U"], u_ff, K, A_cl,
-                        iters=config.defect_iters,
-                        engine=config.defect_engine,
-                        exit_tol=exit_tol, u_limits=limits)
+                    X1, U1, cost1, d1 = single_par(alphas[0], A_cl, exit_tol)
                     ok1 = ((d1 < cert_tol) & jnp.isfinite(cost1)
                            & (cost1 <= s["cost"]))
 
@@ -440,12 +478,7 @@ def solve(
                     # single-instance horizons, where that is moot (and
                     # 'auto' only picks it there).
                     def phase2(_):
-                        X_c, U_c, costs, defects = linesearch_defect_rollouts(
-                            system, x0, alphas, s["X"], s["U"], u_ff, K, exp,
-                            iters=config.defect_iters,
-                            engine=config.defect_engine, exit_tol=exit_tol,
-                            u_limits=limits,
-                        )
+                        X_c, U_c, costs, defects = multi_par(A_cl, exit_tol)
                         certified = defects < cert_tol
                         acc_par = ((costs <= s["cost"]) & jnp.isfinite(costs)
                                    & certified)
