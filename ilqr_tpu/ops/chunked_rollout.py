@@ -54,6 +54,20 @@ def auto_chunk_len(N: int) -> int:
     return max(16, min(512, int(round(N ** 0.5))))
 
 
+def coarse_chunk_len(N: int) -> int:
+    """Chunk length for the robust (phase-2) line search: ~8× the fine one.
+
+    Larger chunks propagate more of each candidate's nonlinearity exactly,
+    so the boundary Newton certifies far outside the fine-grained scheme's
+    contraction region — measured on the 100k-step cartpole: the α=1
+    candidate's boundary defect is 25.7 at L=316 (diverged) and 1.5e-8 at
+    L=2048, with EVERY candidate in every iteration certifying at the
+    coarse length.  The price is an ~8× deeper per-sweep scan, paid only
+    when the first-improving candidate was rejected (phase 2).
+    """
+    return max(64, min(4096, 8 * auto_chunk_len(N)))
+
+
 def chunk_transition_products(A: jnp.ndarray, L: int) -> jnp.ndarray:
     """Per-chunk products Φ_c = A_{cL+L-1} ··· A_{cL}.  A: (C·L, n, n) → (C, n, n)."""
     n = A.shape[-1]

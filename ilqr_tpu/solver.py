@@ -87,8 +87,11 @@ class IlqrConfig:
     # tol — with quadratic Newton contraction it costs at most ~1 extra sweep).
     defect_iters: int = 8
     defect_tol: float = 1e-3
-    # Chunk length for rollout='chunked' (0 = auto ≈ √N, clamped to
-    # [16, 512] — ops/chunked_rollout.py::auto_chunk_len).
+    # Chunk length for rollout='chunked' (0 = auto: ≈ √N clamped to
+    # [16, 512] for the phase-1 candidate, ~8× that for the full phase-2
+    # schedule whose aggressive candidates need the larger certification
+    # region — ops/chunked_rollout.py::auto_chunk_len/coarse_chunk_len).
+    # A nonzero value overrides both phases.
     chunk_len: int = 0
     # Initial open-loop rollout engine: 'scan' (sequential, exact) or
     # 'defect' (parallel-in-time Newton sweeps, ops/parallel_rollout.py;
@@ -388,8 +391,18 @@ def solve(
                 if rollout_mode == "chunked":
                     from ilqr_tpu.ops.chunked_rollout import (
                         chunked_rollout,
+                        coarse_chunk_len,
                         linesearch_chunked_rollouts,
                     )
+
+                    # Phase 1 (the α=1 fast path) uses the fine auto length;
+                    # phase 2 — reached only when the first candidate was
+                    # rejected, i.e. the step is aggressive — pays ~8× longer
+                    # chunks for a far larger certification region (the fine
+                    # scheme's boundary Newton diverges exactly on those
+                    # aggressive candidates; see coarse_chunk_len).  An
+                    # explicit config.chunk_len overrides both.
+                    L2 = config.chunk_len or coarse_chunk_len(N)
 
                     def single_par(alpha, A_cl, exit_tol):
                         return chunked_rollout(
@@ -402,7 +415,7 @@ def solve(
                         return linesearch_chunked_rollouts(
                             system, x0, alphas, s["X"], s["U"], u_ff, K, A_cl,
                             sweeps=config.defect_iters,
-                            chunk_len=config.chunk_len,
+                            chunk_len=L2,
                             exit_tol=exit_tol, u_limits=limits)
                 else:
                     from ilqr_tpu.ops.parallel_rollout import (

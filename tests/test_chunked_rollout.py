@@ -17,6 +17,7 @@ from ilqr_tpu.ops.chunked_rollout import (
     auto_chunk_len,
     chunk_transition_products,
     chunked_rollout,
+    coarse_chunk_len,
     linesearch_chunked_rollouts,
 )
 from ilqr_tpu.ops.linearize import linearize_trajectory
@@ -54,6 +55,39 @@ def test_auto_chunk_len_bounds():
     assert auto_chunk_len(100) == 16
     assert auto_chunk_len(10_000) == 100
     assert auto_chunk_len(1_000_000) == 512
+
+
+def test_coarse_chunk_len_bounds():
+    assert coarse_chunk_len(100) == 128
+    assert coarse_chunk_len(10_000) == 800
+    assert coarse_chunk_len(1_000_000) == 4096
+
+
+def test_coarse_chunks_certify_aggressive_candidate():
+    """The phase-2 robustness property: on a drift-prone system the α=1
+    candidate's boundary Newton diverges at the fine chunk length but
+    certifies at the coarse one (this is why the solver's phase 2 pays the
+    deeper scan)."""
+    N = 4096
+    cp = make_cartpole(
+        0.0005, [0.0, jnp.pi, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([1.0, 5.0, 0.1, 0.1])), R=0.1 * jnp.eye(1),
+        Q_f=jnp.diag(jnp.array([100.0, 500.0, 50.0, 50.0])))
+    x0 = jnp.zeros(4)
+    U = jnp.zeros((N, 1))
+    X, _ = rollout(cp, x0, U)
+    exp = linearize_trajectory(cp, X, U)
+    u_ff, K, _, _ = backward_pass(exp, 0.0)
+    A_cl = exp.f_x + exp.f_u @ K
+    al = jnp.asarray([1.0])
+    _, _, _, d_fine = linesearch_chunked_rollouts(
+        cp, x0, al, X, U, u_ff, K, A_cl, sweeps=8,
+        chunk_len=auto_chunk_len(N))
+    _, _, _, d_coarse = linesearch_chunked_rollouts(
+        cp, x0, al, X, U, u_ff, K, A_cl, sweeps=8,
+        chunk_len=coarse_chunk_len(N))
+    assert float(d_fine[0]) > 0.1      # fine scheme diverged (measured 0.99)
+    assert float(d_coarse[0]) < 1e-5   # coarse certifies
 
 
 @pytest.mark.parametrize("N,chunk_len", [(400, 0), (400, 32), (97, 24)])
