@@ -196,3 +196,80 @@ def backward_pass_associative(
     dV = jnp.sum(dVs, axis=0)
     ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
     return u_ff, K, dV, ok
+
+
+@f32_matmuls
+def backward_pass_ddp_parallel(
+    exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None,
+    noise=None, sweeps: int = 2, engine: str = "xla",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-DDP / iLQG backward pass in O(sweeps·log N) depth.
+
+    The exact second-order recursions are sequential: the DDP terms
+    ``V_x(k+1)·f_xx`` (`ops/riccati.py::backward_pass`) couple each step to
+    the downstream value GRADIENT, and the iLQG noise terms couple to the
+    downstream value HESSIAN — neither fits the associative element algebra
+    directly.  But for a FROZEN value trace they are pure per-step cost
+    modifications: folding ``V_x(k+1)·f_··`` into (l_xx, l_ux, l_uu) — and
+    the noise quadratics into all five stage terms — restores LQR form, so
+    one sweep is again an associative suffix scan.  Iterating
+
+        trace⁰ = Gauss-Newton suffix scan (no second-order terms)
+        traceᵐ⁺¹ = suffix scan of the expansion folded with traceᵐ
+
+    is a fixed-point iteration on the value trace whose fixed point IS the
+    exact sequential recursion; near convergence of the outer solver the
+    trace barely moves between sweeps and 2 sweeps suffice (the line search
+    guards descent regardless — inexact gains cost iterations, not
+    correctness).
+
+    ``engine='pallas'`` runs each suffix scan through the fused sublane
+    kernel (`ops/pallas_riccati.py`), 'xla' through `associative_scan`.
+
+    The reference framework is Gauss-Newton-only (`iLQR_class.py:100-104`);
+    this composes its missing second-order terms with the parallel-in-time
+    backward that is this framework's headline.
+    """
+    import dataclasses as _dc
+
+    reg = jnp.asarray(reg, dtype=exp.l_u.dtype)
+    if engine == "pallas":
+        from ilqr_tpu.ops.pallas_riccati import suffix_scan_pallas
+
+        scan_fn = suffix_scan_pallas
+    else:
+        scan_fn = suffix_scan
+
+    def traces(e):
+        suffix = scan_fn(make_elements(e, reg))
+        return -suffix.eta[1:], suffix.J[1:]
+
+    def fold(V_x_next, V_xx_next):
+        e = exp
+        if hess is not None:
+            vx = V_x_next[:, :, None, None]
+            e = _dc.replace(
+                e,
+                l_xx=e.l_xx + jnp.sum(vx * hess.f_xx, axis=1),
+                l_ux=e.l_ux + jnp.sum(vx * hess.f_ux, axis=1),
+                l_uu=e.l_uu + jnp.sum(vx * hess.f_uu, axis=1))
+        if noise is not None:
+            from ilqr_tpu.ops.riccati import _noise_q_terms
+
+            q_x, q_u, q_xx, q_ux, q_uu = jax.vmap(_noise_q_terms)(
+                V_xx_next, *noise)
+            e = _dc.replace(
+                e, l_x=e.l_x + q_x, l_u=e.l_u + q_u, l_xx=e.l_xx + q_xx,
+                l_ux=e.l_ux + q_ux, l_uu=e.l_uu + q_uu)
+        return e
+
+    V_x, V_xx = traces(exp)  # sweep 0: Gauss-Newton value trace
+    for _ in range(sweeps):
+        V_x, V_xx = traces(fold(V_x, V_xx))
+    # Gains from a Q-expansion that uses the SAME downstream trace for the
+    # second-order folds and the value terms (the sequential recursion's
+    # consistency condition; exact at the fixed point).
+    u_ff, K, dVs = gains_from_value(fold(V_x, V_xx), V_x, V_xx, reg)
+    dV = jnp.sum(dVs, axis=0)
+    ok = jnp.all(jnp.isfinite(u_ff)) & jnp.all(jnp.isfinite(K))
+    return u_ff, K, dV, ok

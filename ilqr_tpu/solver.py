@@ -65,8 +65,17 @@ class IlqrConfig:
     # Q-expansion (Jacobson & Mayne).  Quadratic local convergence near the
     # optimum at the price of an extra Hessian evaluation per iteration and a
     # possibly-indefinite Q_uu — pair with adaptive_reg=True on hard problems.
-    # Sequential backward only (the terms couple to the running V_x).
+    # backward='scan'/'auto' runs the exact sequential recursion;
+    # 'pscan'/'pallas' run ddp_sweeps frozen-value-trace suffix scans
+    # (O(sweeps·log N) depth, fixed point = the exact recursion —
+    # ops/parallel_riccati.py::backward_pass_ddp_parallel).  The same applies
+    # to the iLQG ``noise`` terms.
     ddp: bool = False
+    # Frozen-value fixed-point sweeps for the PARALLEL ddp/noise backward
+    # (measured u_ff agreement with the sequential recursion on the pendulum:
+    # 0.6% at 2 sweeps, 6e-6 at 4; inexact gains cost outer iterations, not
+    # correctness — the line search guards descent).
+    ddp_sweeps: int = 3
     # Line-search rollout engine: 'scan' = one vmapped XLA rollout batch over
     # all α; 'pallas' = fused sequential kernels (candidate costs in one
     # chain, then one materializing rollout for the accepted α); 'defect' =
@@ -124,7 +133,9 @@ class IlqrConfig:
     # noise_fn(x, u) -> (n_x, n_w) giving the noise-direction matrix C of
     # x⁺ = f(x, u) + C(x, u)·ξ, ξ ~ N(0, I).  The backward pass minimizes the
     # EXPECTED cost (noise-covariance Q-terms); nominal rollouts, line search
-    # and the convergence test stay deterministic.  Sequential backward only.
+    # and the convergence test stay deterministic.  backward='scan'/'auto' is
+    # the exact sequential recursion; 'pscan'/'pallas' the frozen-value
+    # parallel form (see ddp above).
     noise: Any = None
 
     def __post_init__(self):
@@ -148,11 +159,12 @@ class IlqrConfig:
                 f"defect_engine must be 'auto'|'pallas'|'xla', "
                 f"got {self.defect_engine!r}"
             )
-        if self.ddp and self.backward not in ("auto", "scan"):
+        if (self.ddp or self.noise is not None) and self.u_min is not None \
+                and self.backward in ("pscan", "pallas"):
             raise ValueError(
-                "ddp=True requires the sequential backward pass "
-                "(backward='scan'/'auto'); the second-order dynamics terms "
-                "couple to the running V_x and have no associative form"
+                "ddp/noise with control limits requires the sequential "
+                "backward (backward='scan'/'auto'); the frozen-active-set "
+                "parallel limited pass does not carry second-order terms"
             )
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
@@ -161,12 +173,8 @@ class IlqrConfig:
                 raise ValueError(
                     "control limits require rollout='scan', 'defect' or "
                     "'chunked' (the pallas rollout kernels do not clamp)")
-        if self.noise is not None and self.backward not in ("auto", "scan"):
-            raise ValueError(
-                "noise (iLQG) requires the sequential backward pass "
-                "(backward='scan'/'auto'); the noise terms couple to the "
-                "running V_xx and have no associative form"
-            )
+        if self.ddp_sweeps < 1:
+            raise ValueError(f"ddp_sweeps must be >= 1, got {self.ddp_sweeps}")
         if self.maxiter < 1:
             raise ValueError(f"maxiter must be >= 1, got {self.maxiter}")
 
@@ -256,6 +264,14 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
                                      qp_iters=config.boxqp_iters, hess=hess,
                                      noise=noise)
     if config.ddp or noise is not None:
+        if config.backward in ("pscan", "pallas"):
+            from ilqr_tpu.ops.parallel_riccati import (
+                backward_pass_ddp_parallel,
+            )
+
+            return backward_pass_ddp_parallel(
+                exp, reg, hess=hess, noise=noise, sweeps=config.ddp_sweeps,
+                engine="pallas" if config.backward == "pallas" else "xla")
         return backward_pass(exp, reg, hess=hess, noise=noise)
     backward = config.backward
     if backward == "auto":

@@ -96,5 +96,53 @@ def test_ddp_with_control_limits():
 
 
 def test_ddp_config_validation():
-    with pytest.raises(ValueError, match="sequential backward"):
-        it.IlqrConfig(ddp=True, backward="pscan")
+    # ddp composes with the parallel backward (frozen-value sweeps) …
+    it.IlqrConfig(ddp=True, backward="pscan")
+    it.IlqrConfig(ddp=True, backward="pallas", ddp_sweeps=4)
+    # … but not combined with hard control limits (the frozen-active-set
+    # parallel limited pass carries no second-order terms).
+    with pytest.raises(ValueError, match="sequential"):
+        it.IlqrConfig(ddp=True, backward="pscan", u_min=-1.0, u_max=1.0)
+    with pytest.raises(ValueError, match="ddp_sweeps"):
+        it.IlqrConfig(ddp_sweeps=0)
+
+
+def test_parallel_ddp_backward_converges_to_sequential():
+    """The frozen-value-trace suffix scans are a fixed-point iteration whose
+    fixed point is the exact sequential DDP recursion."""
+    from ilqr_tpu.ops.linearize import dynamics_hessians, linearize_trajectory
+    from ilqr_tpu.ops.parallel_riccati import backward_pass_ddp_parallel
+    from ilqr_tpu.ops.riccati import backward_pass
+    from ilqr_tpu.ops.rollout import rollout
+
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                            Q_f=10.0 * jnp.eye(2), d=0.1, integrator="rk4")
+    x0 = jnp.array([1.0, 0.0])
+    U = 0.5 * jnp.sin(jnp.linspace(0, 6, 300))[:, None]
+    X, _ = rollout(sys_, x0, U)
+    exp = linearize_trajectory(sys_, X, U)
+    hess = dynamics_hessians(sys_, X, U)
+    u1, K1, _, _ = backward_pass(exp, 0.0, hess=hess)
+    u2, K2, _, ok = backward_pass_ddp_parallel(exp, 0.0, hess=hess, sweeps=8)
+    assert bool(ok)
+    np.testing.assert_allclose(np.array(u2), np.array(u1), atol=2e-4)
+    np.testing.assert_allclose(np.array(K2), np.array(K1), atol=2e-4)
+    # Few sweeps: inexact but already a close descent direction.
+    u3, _, _, _ = backward_pass_ddp_parallel(exp, 0.0, hess=hess, sweeps=2)
+    rel = float(jnp.max(jnp.abs(u3 - u1)) / (1.0 + jnp.max(jnp.abs(u1))))
+    assert rel < 0.05
+
+
+def test_solver_ddp_parallel_backward_matches_sequential():
+    sys_ = pendulum()
+    x0 = jnp.zeros(2)
+    U0 = jnp.zeros((300, 1))
+    cfg_seq = it.IlqrConfig(maxiter=150, tol=1e-8, ddp=True,
+                            adaptive_reg=True, reg_init=1e-6)
+    cfg_par = it.IlqrConfig(maxiter=150, tol=1e-8, ddp=True,
+                            adaptive_reg=True, reg_init=1e-6,
+                            backward="pscan", ddp_sweeps=4)
+    a = it.solve(sys_, x0, U0, cfg_seq)
+    b = it.solve(sys_, x0, U0, cfg_par)
+    assert int(b.status) == 1
+    assert float(b.cost) == pytest.approx(float(a.cost), rel=1e-4)

@@ -136,6 +136,31 @@ def test_solve_with_noise_converges_and_beats_deterministic_policy():
     assert float(mean_sto) <= 1.05 * det
 
 
-def test_noise_requires_sequential_backward():
-    with pytest.raises(ValueError):
-        it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan")
+def test_noise_composes_with_parallel_backward():
+    # Allowed since the frozen-value parallel form landed; the noise terms
+    # ride the same fixed-point sweeps as DDP.
+    it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan")
+    with pytest.raises(ValueError, match="sequential"):
+        it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan",
+                      u_min=-1.0, u_max=1.0)
+
+
+def test_parallel_noise_backward_matches_sequential():
+    from ilqr_tpu.ops.linearize import linearize_trajectory
+    from ilqr_tpu.ops.parallel_riccati import backward_pass_ddp_parallel
+    from ilqr_tpu.ops.riccati import backward_pass
+    from ilqr_tpu.ops.rollout import rollout
+
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                            Q_f=10.0 * jnp.eye(2), d=0.1, integrator="rk4")
+    x0 = jnp.array([1.0, 0.0])
+    U = 0.5 * jnp.sin(jnp.linspace(0, 6, 300))[:, None]
+    X, _ = rollout(sys_, x0, U)
+    exp = linearize_trajectory(sys_, X, U)
+    nf = control_multiplicative_noise(0.5, jnp.array([[0.0], [1.0]]))
+    nz = tuple(noise_expansion(nf, X, U))
+    u1, K1, _, _ = backward_pass(exp, 0.0, noise=nz)
+    u2, K2, _, ok = backward_pass_ddp_parallel(exp, 0.0, noise=nz, sweeps=6)
+    assert bool(ok)
+    np.testing.assert_allclose(np.array(u2), np.array(u1), atol=1e-4)
+    np.testing.assert_allclose(np.array(K2), np.array(K1), atol=1e-4)
