@@ -106,6 +106,29 @@ def main():
     log(metric="backward_pass_pscan_ms", value=t_pscan * 1e3, N=N)
     log(metric="backward_pass_scan_ms", value=t_scan * 1e3, N=N)
 
+    # --- Secondary: n_x=6 backward pass (quadrotor) — the fused sublane-
+    # packed kernel must beat the sequential scan beyond the toy dims
+    # (VERDICT r1 item 3; 'auto' selects pallas for n_x<=8, N>=256). ---
+    from ilqr_tpu.models.quadrotor import hover_controls, make_quadrotor
+
+    sys_q = make_quadrotor(
+        0.01, [1.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([1.0, 1.0, 0.1, 0.1, 0.1, 0.1])),
+        R=0.1 * jnp.eye(2),
+        Q_f=jnp.diag(jnp.array([100.0, 100.0, 10.0, 10.0, 10.0, 10.0])),
+    )
+    N_q = 8192
+    U_q = jnp.broadcast_to(hover_controls(sys_q.params), (N_q, 2))
+    X_q, _ = jax.jit(lambda u: it.rollout(sys_q, jnp.zeros(6), u))(U_q)
+    exp_q = jax.block_until_ready(
+        jax.jit(lambda x, u: linearize_trajectory(sys_q, x, u))(X_q, U_q))
+    t_q_fused = timeit(bp_fused, exp_q)
+    t_q_scan = timeit(bp_scan, exp_q)
+    log(metric="backward_pass_nx6_fused_ms", value=t_q_fused * 1e3, N=N_q,
+        n_x=6)
+    log(metric="backward_pass_nx6_scan_ms", value=t_q_scan * 1e3, N=N_q,
+        n_x=6)
+
     # --- Secondary: full solve latency (reference workload, N=500). ---
     N_dp = 500
     cfg = it.IlqrConfig(maxiter=200, tol=1e-6)

@@ -142,6 +142,26 @@ def kalman_smoother_parallel(F, c, Q_proc, X_f, P_f
     return suffix.g, P_s
 
 
+def _default_x_lin(system: System, x0: jnp.ndarray, U: jnp.ndarray):
+    """Linearization trajectory for the iterated schemes, parallel-in-time.
+
+    A sequential `rollout` here would be the ONLY O(N)-depth stage of the
+    whole pass (measured 1.6 s of a 2 s N=100k parallel filter run before
+    this); the defect-parallel Newton sweeps build the same open-loop
+    trajectory in O(log N).  If they diverge (non-contracting dynamics from
+    this record), fall back to the constant-x̂0 trajectory — the iterated
+    re-linearization repairs a crude starting reference, same as
+    `shooting.solve_ms`'s init.
+    """
+    from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
+
+    X_lin, _, defect = open_loop_defect_rollout(system, x0, U, iters=8,
+                                                exit_tol=1e-6)
+    ok = jnp.isfinite(defect)
+    const = jnp.broadcast_to(x0, X_lin.shape)
+    return jnp.where(ok, X_lin, const)
+
+
 def _linearize_models(system: System, obs_fn: Callable, X_lin, U):
     """Affine dynamics/observation models along a reference trajectory.
 
@@ -174,8 +194,8 @@ def run_eks_parallel(
 
     Each iteration linearizes dynamics + observation along the current
     reference (initially the open-loop rollout of U unless ``X_lin`` is
-    given — pass `ops.parallel_rollout.open_loop_defect_rollout`'s result to
-    keep even the initialization parallel-in-time), runs the exact affine
+    given; built with the defect-parallel Newton sweeps so even the
+    initialization is O(log N) depth), runs the exact affine
     filter + smoother in parallel, and re-linearizes along the smoothed
     means.  Matches the sequential `estimation.run_eks` at the fixed point
     of its linearization (run_eks linearizes at running filtered estimates;
@@ -184,17 +204,24 @@ def run_eks_parallel(
     Returns (X_s (N, n_x), P_s (N, n_x, n_x)) aligned like `run_eks`.
     """
     if X_lin is None:
-        from ilqr_tpu.ops.rollout import rollout
+        X_lin = _default_x_lin(system, s0.x_hat, U)
 
-        X_lin, _ = rollout(system, s0.x_hat, U)
-
-    X_s = P_s = None
-    for _ in range(max(iters, 1)):
-        F, c, H, d = _linearize_models(system, obs_fn, X_lin, U)
+    # fori_loop, not a Python loop: the body (vmapped Jacobians + two
+    # associative scans) compiles ONCE regardless of iters — an unrolled
+    # 2-iteration program at N=100k OOM-killed the XLA compile.
+    def body(_, carry):
+        X_ref, _, _ = carry
+        F, c, H, d = _linearize_models(system, obs_fn, X_ref, U)
         X_f, P_f = kalman_filter_parallel(
             F, c, H, d, Q_proc, R_obs, s0.x_hat, s0.P, Y)
         X_s, P_s = kalman_smoother_parallel(F[1:], c[1:], Q_proc, X_f, P_f)
-        X_lin = jnp.concatenate([s0.x_hat[None], X_s], axis=0)
+        return jnp.concatenate([s0.x_hat[None], X_s], axis=0), X_s, P_s
+
+    n_x = s0.x_hat.shape[0]
+    N = U.shape[0]
+    init = (X_lin, jnp.zeros((N, n_x), X_lin.dtype),
+            jnp.zeros((N, n_x, n_x), X_lin.dtype))
+    _, X_s, P_s = jax.lax.fori_loop(0, max(iters, 1), body, init)
     return X_s, P_s
 
 
@@ -211,17 +238,16 @@ def run_ekf_parallel(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One-pass parallel extended Kalman filter (fixed linearization).
 
-    Linearizes along ``X_lin`` (default: the open-loop rollout of U) and runs
-    the exact affine filter in O(log N) depth.  Unlike the sequential EKF —
+    Linearizes along ``X_lin`` (default: the open-loop trajectory of U via
+    the defect-parallel sweeps) and runs the exact affine filter in O(log N)
+    depth.  Unlike the sequential EKF —
     which linearizes at the RUNNING estimate — the linearization here is
     fixed, so on strongly nonlinear records prefer `run_eks_parallel` with
     iters ≥ 2 (the smoother feedback restores the accuracy).  Returns
     (X_hat, P) aligned like `estimation.run_ekf`.
     """
     if X_lin is None:
-        from ilqr_tpu.ops.rollout import rollout
-
-        X_lin, _ = rollout(system, s0.x_hat, U)
+        X_lin = _default_x_lin(system, s0.x_hat, U)
     F, c, H, d = _linearize_models(system, obs_fn, X_lin, U)
     return kalman_filter_parallel(F, c, H, d, Q_proc, R_obs,
                                   s0.x_hat, s0.P, Y)
