@@ -129,15 +129,24 @@ def backward_pass(
         # Value updates: full symmetric form + explicit symmetrization, NOT
         # the reference's simplified Todorov form (`iLQR_class.py:113-114`).
         # The two are identical in exact arithmetic at the unconstrained
-        # minimizer, but the simplified form loses V_xx symmetry in f32 and
-        # the recursion compounds it — measured 25.3 abs u_ff error (50% of
-        # scale) vs 6e-4 with this form on the quadrotor at N=100 (r2 NOTES).
-        KtQuu = K.T @ Q_uu
-        V_x_new = Q_x + K.T @ Q_u + (KtQuu + Q_ux.T) @ u_ff
-        V_xx_new = Q_xx + KtQuu @ K + K.T @ Q_ux + Q_ux.T @ K
+        # minimizer, but the simplified form relies on the f32 cancellation
+        # Q_uu K = −Q_ux and the recursion compounds the roundoff — measured
+        # 0.67 RELATIVE u_ff error vs 8e-5 with the full form on the
+        # quadrotor at N=100 (f64 oracle).  Written via the stationarity
+        # residuals W = Q_uu K + Q_ux, w = Q_u + Q_uu u_ff
+        # (K'Q_uu K + K'Q_ux = K'W), with the tiny contractions as broadcast
+        # sums: @ on (n_u-contraction) shapes lowers to a slow dot_general
+        # under vmap — the expanded-@ form cost 18% of batched-solve
+        # throughput, this form ~2.5%, at identical f32 accuracy.
+        W = jnp.sum(Q_uu[:, :, None] * K[None, :, :], axis=1) + Q_ux
+        w = Q_u + jnp.sum(Q_uu * u_ff[None, :], axis=1)
+        V_x_new = (Q_x + jnp.sum(K * w[:, None], axis=0)
+                   + jnp.sum(Q_ux * u_ff[:, None], axis=0))
+        V_xx_new = (Q_xx + jnp.sum(K[:, :, None] * W[:, None, :], axis=0)
+                    + jnp.sum(Q_ux[:, :, None] * K[:, None, :], axis=0))
         V_xx_new = 0.5 * (V_xx_new + V_xx_new.T)
 
-        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
+        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ (w - Q_u)])
         return (V_x_new, V_xx_new), (u_ff, K, dV)
 
     init = (exp.v_x, exp.v_xx)
@@ -206,15 +215,19 @@ def backward_pass_limited(
             Q_uu_reg, Q_u, u_lo - u_k, u_hi - u_k, Q_ux, iters=qp_iters
         )
 
-        # Full symmetric value update (see backward_pass): besides the f32
+        # Full symmetric value update (see backward_pass — same residual
+        # form with broadcast-sum tiny contractions): besides the f32
         # robustness, for CLAMPED controls the simplified form is not even
         # algebraically valid — u_ff/K are not the unconstrained minimizer.
-        KtQuu = K.T @ Q_uu
-        V_x_new = Q_x + K.T @ Q_u + (KtQuu + Q_ux.T) @ u_ff
-        V_xx_new = Q_xx + KtQuu @ K + K.T @ Q_ux + Q_ux.T @ K
+        W = jnp.sum(Q_uu[:, :, None] * K[None, :, :], axis=1) + Q_ux
+        w = Q_u + jnp.sum(Q_uu * u_ff[None, :], axis=1)
+        V_x_new = (Q_x + jnp.sum(K * w[:, None], axis=0)
+                   + jnp.sum(Q_ux * u_ff[:, None], axis=0))
+        V_xx_new = (Q_xx + jnp.sum(K[:, :, None] * W[:, None, :], axis=0)
+                    + jnp.sum(Q_ux[:, :, None] * K[:, None, :], axis=0))
         V_xx_new = 0.5 * (V_xx_new + V_xx_new.T)
 
-        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ Q_uu @ u_ff])
+        dV = jnp.stack([u_ff @ Q_u, 0.5 * u_ff @ (w - Q_u)])
         return (V_x_new, V_xx_new), (u_ff, K, dV)
 
     init = (exp.v_x, exp.v_xx)
