@@ -5,13 +5,26 @@ of four per-axis ratios (backward-pass throughput, full-solve latency,
 single-instance MPC step latency, batched solves/s), so the reported
 vs_baseline is not the single most favorable axis (VERDICT r1 item 8).
 Reference CPU denominators are self-measured (BASELINE.md "Self-measured
-reference numbers"); the formula is documented there.  Also reports an
-explicit VPU-utilization estimate for the headline kernel.
+reference numbers"); the formula is documented there.
+
+Timing methodology (v2, round 3): on this axon tunnel `block_until_ready`
+does NOT reliably wait for device execution (measured: 20 chained 4k
+matmuls "complete" in 0.03 ms ≈ 4800 TFLOP/s, impossible), and fetching a
+host scalar costs a ~20-30 ms round trip.  Every measurement therefore
+(a) forces completion by fetching a scalar reduction computed INSIDE the
+jitted program, and (b) either subtracts the independently measured fetch
+RTT (long programs) or repeats the kernel R times inside one program with a
+false data dependency and takes the slope between two R values (short
+kernels — cancels RTT and dispatch exactly).  Minimum over repetitions.
+The round-1/2 artifacts were taken with block-based timing; the cross-round
+table printed at the end compares like axes but flags the method change.
 
 Prints exactly ONE JSON line to stdout; secondary metrics go to stderr.
 """
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -29,15 +42,139 @@ REFERENCE_BATCHED_SOLVES_PER_S = 71.6          # DP N=128 maxiter=10, serial
 VPU_PEAK_F32 = 4.0e12
 
 
-def timeit(fn, *args, reps=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+def log(**kw):
+    print(json.dumps(kw), file=sys.stderr, flush=True)
+
+
+def _scalarize(out):
+    """Reduce an arbitrary output pytree to one f32 scalar (same program)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "dtype")]
+    acc = jnp.float32(0.0)
+    for l in leaves:
+        acc = acc + jnp.sum(jnp.asarray(l, jnp.float32))
+    return acc
+
+
+def measure_rtt(reps=15):
+    """Execute-and-fetch round-trip floor of the device tunnel."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))
+    ts = []
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def fetch_timeit(fn, *args, reps=8, warmup=2, rtt=0.0):
+    """min over reps of (call + scalar fetch) − rtt.  For long programs."""
+    timed = jax.jit(lambda *a: _scalarize(fn(*a)))
+    for _ in range(warmup):
+        float(timed(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(timed(*args))
+        ts.append(time.perf_counter() - t0)
+    return max(min(ts) - rtt, 1e-9)
+
+
+def slope_timeit(fn, args, r1=2, r2=10, reps=5):
+    """Per-call kernel time via in-program repetition: run the kernel R times
+    inside one jitted lax.scan with a false data dependency (the running
+    scalar, times zero, perturbs the first float leaf so iterations can
+    neither be CSE'd nor reordered), fetch the final scalar, and take the
+    slope between R=r1 and R=r2.  RTT and dispatch cancel in the slope."""
+    flat, tree = jax.tree_util.tree_flatten(args)
+    fi = next(i for i, l in enumerate(flat)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+
+    def repeated(R):
+        def run(*leaves):
+            def body(c, _):
+                leaves2 = list(leaves)
+                leaves2[fi] = leaves2[fi] + (c * 0.0).astype(leaves2[fi].dtype)
+                out = fn(*jax.tree_util.tree_unflatten(tree, leaves2))
+                return c + _scalarize(out), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
+            return tot
+        return jax.jit(run)
+
+    t = {}
+    for R in (r1, r2):
+        prog = repeated(R)
+        for _ in range(2):
+            float(prog(*flat))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(prog(*flat))
+            ts.append(time.perf_counter() - t0)
+        t[R] = min(ts)
+    return max((t[r2] - t[r1]) / (r2 - r1), 1e-9)
+
+
+def load_prior_rounds():
+    """Parse BENCH_r*.json driver artifacts → {round: {key: value}}."""
+    out = {}
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            art = json.load(open(path))
+        except Exception:
+            continue
+        metrics = {}
+        for line in art.get("tail", "").splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            name = d.get("metric")
+            if not name:
+                continue
+            key = name
+            if "N" in d:
+                key += f"@N{d['N']}"
+            if "mode" in d:
+                key += f"@{d['mode']}"
+            if "value" in d:
+                metrics[key] = d["value"]
+            if name == "composite_speedup_vs_reference_cpu":
+                for ax, v in d.get("components", {}).items():
+                    metrics[f"component:{ax}"] = v
+        if metrics:
+            out[rnd] = metrics
+    return out
+
+
+def regression_table(current, prior):
+    """Emit per-axis deltas vs every prior round; flag >10% losses."""
+    for rnd in sorted(prior):
+        rows = {}
+        for key, now in current.items():
+            then = prior[rnd].get(key)
+            if then is None or not then:
+                continue
+            higher_is_better = "per_s" in key or "component" in key
+            ratio = (now / then) if higher_is_better else (then / now)
+            rows[key] = {
+                "now": round(now, 4), "then": round(then, 4),
+                "speedup_vs_then": round(ratio, 3),
+                "regressed": bool(ratio < 0.9),
+            }
+        log(metric="cross_round_deltas", vs_round=rnd,
+            note="round>=3 uses RTT-corrected timing; earlier artifacts "
+                 "include tunnel latency in short-kernel numbers",
+            rows=rows)
 
 
 def main():
@@ -47,8 +184,11 @@ def main():
     from ilqr_tpu.ops.riccati import backward_pass
 
     dev = jax.devices()[0]
-    log = lambda **kw: print(json.dumps(kw), file=sys.stderr)
     log(device=str(dev), backend=jax.default_backend())
+    rtt = measure_rtt()
+    log(metric="tunnel_execute_fetch_rtt_ms", value=rtt * 1e3)
+
+    current = {}  # key -> value, for the cross-round table
 
     sys_ = it.make_double_pendulum(
         0.01, [jnp.pi, 0.0, 0.0, 0.0],
@@ -68,46 +208,71 @@ def main():
         backward_pass_pallas_fused,
     )
 
-    def expansion(N):
-        U = 0.1 * jnp.sin(jnp.linspace(0, 20.0, N))[:, None] * jnp.ones((1, 2))
-        X, _ = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u))(U)
-        exp = jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X, U)
+    def expansion(sys_e, n_x, N, U):
+        X, _ = jax.jit(lambda u: it.rollout(sys_e, jnp.zeros(n_x), u))(U)
+        exp = jax.jit(lambda x, u: linearize_trajectory(sys_e, x, u))(X, U)
         return jax.block_until_ready(exp)
 
-    bp_fused = jax.jit(lambda e: backward_pass_pallas_fused(e, 0.0))
-    bp_pallas = jax.jit(lambda e: backward_pass_pallas(e, 0.0))
-    bp_pscan = jax.jit(lambda e: backward_pass_associative(e, 0.0))
-    bp_scan = jax.jit(lambda e: backward_pass(e, 0.0))
+    def dp_expansion(N):
+        U = 0.1 * jnp.sin(jnp.linspace(0, 20.0, N))[:, None] * jnp.ones((1, 2))
+        return expansion(sys_, 4, N, U)
+
+    bp_fused = lambda e: backward_pass_pallas_fused(e, 0.0)
+    bp_pallas = lambda e: backward_pass_pallas(e, 0.0)
+    bp_pscan = lambda e: backward_pass_associative(e, 0.0)
+    bp_scan = lambda e: backward_pass(e, 0.0)
 
     N_head = 131072
-    exp_head = expansion(N_head)
-    t_head = timeit(bp_fused, exp_head)
+    exp_head = dp_expansion(N_head)
+    t_head = slope_timeit(bp_fused, (exp_head,), r1=1, r2=5)
     tps = N_head / t_head
     log(metric="backward_pass_fused_ms", value=t_head * 1e3, N=N_head)
-    # VPU-utilization estimate for the headline kernel: the fused kernel's
-    # own cost model ((n_sweeps+1) combines/step, ~40·n_x³ f32 ops each —
-    # ops/pallas_riccati.py cost_estimate) against the v5e VPU f32 peak.
+    current["backward_pass_fused_ms@N131072"] = t_head * 1e3
+
+    # VPU utilization, two ways: (a) modeled — the kernel's own cost model
+    # ((n_sweeps+1) combines/step, ~40·n_x³ f32 ops each); (b) measured —
+    # XLA's compiled cost analysis of the same program (compiler-counted
+    # FLOPs; includes only ops XLA attributes FLOPs to, so Pallas kernels
+    # report via their cost estimate) divided by the slope-timed kernel
+    # latency and the v5e VPU f32 peak.
     n_x_h = 4
     n_sweeps_h = (8 * 1024 - 1).bit_length() + 2
     kernel_flops = (n_sweeps_h + 1) * N_head * 40 * n_x_h**3
     vpu_util = kernel_flops / t_head / VPU_PEAK_F32
     log(metric="vpu_utilization_estimate", value=round(vpu_util, 4),
         flops_model="(n_sweeps+1)*N*40*n_x^3", peak_f32=VPU_PEAK_F32)
+    measured_util = None
+    try:
+        ca = jax.jit(bp_fused).lower(exp_head).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        xla_flops = float(ca.get("flops", 0.0))
+        if xla_flops > 0:
+            measured_util = xla_flops / t_head / VPU_PEAK_F32
+            log(metric="vpu_utilization_xla_measured",
+                value=round(measured_util, 4), xla_flops=xla_flops,
+                note="compiled-executable cost analysis / slope-timed latency")
+    except Exception as e:  # axon remote-compile may not expose analysis
+        log(metric="vpu_utilization_xla_measured", error=str(e)[:200])
 
-    # Secondaries at the medium horizon: all four backends.
+    # Secondaries at the medium horizon: all four backends (slope-timed).
     N = 4096
-    exp = expansion(N)
-    t_fused = timeit(bp_fused, exp)
-    t_pallas = timeit(bp_pallas, exp)
-    t_pscan = timeit(bp_pscan, exp)
-    t_scan = timeit(bp_scan, exp)
+    exp = dp_expansion(N)
+    t_fused = slope_timeit(bp_fused, (exp,))
+    t_pallas = slope_timeit(bp_pallas, (exp,))
+    t_pscan = slope_timeit(bp_pscan, (exp,))
+    t_scan = slope_timeit(bp_scan, (exp,), r1=1, r2=3)
     log(metric="backward_pass_fused_ms", value=t_fused * 1e3, N=N)
     log(metric="backward_pass_pallas_ms", value=t_pallas * 1e3, N=N)
     log(metric="backward_pass_pscan_ms", value=t_pscan * 1e3, N=N)
     log(metric="backward_pass_scan_ms", value=t_scan * 1e3, N=N)
+    current["backward_pass_fused_ms@N4096"] = t_fused * 1e3
+    current["backward_pass_pallas_ms@N4096"] = t_pallas * 1e3
+    current["backward_pass_pscan_ms@N4096"] = t_pscan * 1e3
+    current["backward_pass_scan_ms@N4096"] = t_scan * 1e3
 
-    # --- Secondary: n_x=6 backward pass (quadrotor) — the fused sublane-
-    # packed kernel must beat the sequential scan beyond the toy dims
+    # --- Secondary: n_x=6 backward pass (planar quadrotor) — the fused
+    # sublane-packed kernel must beat the sequential scan beyond toy dims
     # (VERDICT r1 item 3; 'auto' selects pallas for n_x<=8, N>=256). ---
     from ilqr_tpu.models.quadrotor import hover_controls, make_quadrotor
 
@@ -119,30 +284,29 @@ def main():
     )
     N_q = 8192
     U_q = jnp.broadcast_to(hover_controls(sys_q.params), (N_q, 2))
-    X_q, _ = jax.jit(lambda u: it.rollout(sys_q, jnp.zeros(6), u))(U_q)
-    exp_q = jax.block_until_ready(
-        jax.jit(lambda x, u: linearize_trajectory(sys_q, x, u))(X_q, U_q))
-    t_q_fused = timeit(bp_fused, exp_q)
-    t_q_scan = timeit(bp_scan, exp_q)
+    exp_q = expansion(sys_q, 6, N_q, U_q)
+    t_q_fused = slope_timeit(bp_fused, (exp_q,))
+    t_q_scan = slope_timeit(bp_scan, (exp_q,), r1=1, r2=3)
     log(metric="backward_pass_nx6_fused_ms", value=t_q_fused * 1e3, N=N_q,
         n_x=6)
     log(metric="backward_pass_nx6_scan_ms", value=t_q_scan * 1e3, N=N_q,
         n_x=6)
+    current["backward_pass_nx6_fused_ms@N8192"] = t_q_fused * 1e3
+    current["backward_pass_nx6_scan_ms@N8192"] = t_q_scan * 1e3
 
     # --- Secondary: full solve latency (reference workload, N=500). ---
     N_dp = 500
     cfg = it.IlqrConfig(maxiter=200, tol=1e-6)
-    solve_fn = jax.jit(
-        lambda x0, U0: it.solve(sys_, x0, U0, cfg).cost
-    )
-    t_solve = timeit(solve_fn, jnp.zeros(4), jnp.zeros((N_dp, 2)), reps=3)
+    t_solve = fetch_timeit(
+        lambda x0, U0: it.solve(sys_, x0, U0, cfg).cost,
+        jnp.zeros(4), jnp.zeros((N_dp, 2)), reps=8, rtt=rtt)
     log(metric="double_pendulum_full_solve_s", value=t_solve,
         reference_cpu_s=1.462)
+    current["double_pendulum_full_solve_s"] = t_solve
 
     # --- Secondary: parallel-in-time line search (shared Pallas affine scan)
     # vs the vmapped sequential rollouts, long horizon. ---
     from ilqr_tpu.ops.parallel_rollout import linesearch_defect_rollouts
-    from ilqr_tpu.ops.riccati import backward_pass as bp_seq
     from ilqr_tpu.ops.rollout import linesearch_rollouts
 
     N_ls = 100_000
@@ -152,18 +316,22 @@ def main():
         jax.jit(lambda x, u: linearize_trajectory(sys_, x, u))(X_ls, U_ls)
     )
     uff_ls, K_ls, _, _ = jax.block_until_ready(
-        jax.jit(lambda e: bp_seq(e, 0.0))(exp_ls)
+        jax.jit(lambda e: backward_pass(e, 0.0))(exp_ls)
     )
     alphas = jnp.asarray([0.5**i for i in range(10)])
-    ls_seq = jax.jit(lambda: linesearch_rollouts(
-        sys_, jnp.zeros(4), alphas, X_ls, U_ls, uff_ls, K_ls)[2])
-    ls_def = jax.jit(lambda: linesearch_defect_rollouts(
-        sys_, jnp.zeros(4), alphas, X_ls, U_ls, uff_ls, K_ls, exp_ls,
-        iters=8)[2])
-    t_ls_seq = timeit(ls_seq, reps=5)
-    t_ls_def = timeit(ls_def, reps=5)
+    t_ls_seq = fetch_timeit(
+        lambda X, U: linesearch_rollouts(
+            sys_, jnp.zeros(4), alphas, X, U, uff_ls, K_ls)[2],
+        X_ls, U_ls, reps=4, rtt=rtt)
+    t_ls_def = fetch_timeit(
+        lambda X, U: linesearch_defect_rollouts(
+            sys_, jnp.zeros(4), alphas, X, U, uff_ls, K_ls, exp_ls,
+            iters=8)[2],
+        X_ls, U_ls, reps=4, rtt=rtt)
     log(metric="linesearch_sequential_ms", value=t_ls_seq * 1e3, N=N_ls)
     log(metric="linesearch_defect_pallas_ms", value=t_ls_def * 1e3, N=N_ls)
+    current["linesearch_sequential_ms@N100000"] = t_ls_seq * 1e3
+    current["linesearch_defect_pallas_ms@N100000"] = t_ls_def * 1e3
 
     # --- Secondary: control-limited backward — sequential per-step boxQP vs
     # the frozen-active-set parallel pass (VERDICT r1 item 6). ---
@@ -176,29 +344,30 @@ def main():
                               integrator="rk4")
     U_lim = jnp.clip(
         2.5 * jnp.sin(jnp.linspace(0, 40, N_lim))[:, None], -2.0, 2.0)
-    X_lim, _ = jax.jit(lambda u: it.rollout(sys_pl, jnp.zeros(2), u))(U_lim)
-    exp_lim = jax.block_until_ready(jax.jit(
-        lambda x, u: linearize_trajectory(sys_pl, x, u))(X_lim, U_lim))
+    exp_lim = expansion(sys_pl, 2, N_lim, U_lim)
     lo_l, hi_l = jnp.array([-2.0]), jnp.array([2.0])
-    lb_seq = jax.jit(lambda e, u: backward_pass_limited(
-        e, u, lo_l, hi_l, 0.0)[0])
-    lb_par = jax.jit(lambda e, u: backward_pass_limited_parallel(
-        e, u, lo_l, hi_l, 0.0)[0])
-    t_lb_seq = timeit(lb_seq, exp_lim, U_lim, reps=5)
-    t_lb_par = timeit(lb_par, exp_lim, U_lim, reps=5)
+    t_lb_seq = fetch_timeit(
+        lambda e, u: backward_pass_limited(e, u, lo_l, hi_l, 0.0)[0],
+        exp_lim, U_lim, reps=4, rtt=rtt)
+    t_lb_par = slope_timeit(
+        lambda e, u: backward_pass_limited_parallel(e, u, lo_l, hi_l, 0.0)[0],
+        (exp_lim, U_lim))
     log(metric="limited_backward_sequential_ms", value=t_lb_seq * 1e3, N=N_lim)
     log(metric="limited_backward_parallel_ms", value=t_lb_par * 1e3, N=N_lim)
+    current["limited_backward_sequential_ms@N32768"] = t_lb_seq * 1e3
+    current["limited_backward_parallel_ms@N32768"] = t_lb_par * 1e3
 
     # --- Secondary: parallel-in-time INITIAL rollout vs sequential chain. ---
     from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
-    ro_seq = jax.jit(lambda u: it.rollout(sys_, jnp.zeros(4), u)[1])
-    ro_def = jax.jit(lambda u: open_loop_defect_rollout(
-        sys_, jnp.zeros(4), u, iters=8)[1])
-    t_ro_seq = timeit(ro_seq, U_ls, reps=5)
-    t_ro_def = timeit(ro_def, U_ls, reps=5)
+    t_ro_seq = fetch_timeit(lambda u: it.rollout(sys_, jnp.zeros(4), u)[1],
+                            U_ls, reps=3, rtt=rtt)
+    t_ro_def = fetch_timeit(
+        lambda u: open_loop_defect_rollout(sys_, jnp.zeros(4), u, iters=8)[1],
+        U_ls, reps=4, rtt=rtt)
     log(metric="initial_rollout_sequential_ms", value=t_ro_seq * 1e3, N=N_ls)
     log(metric="initial_rollout_defect_ms", value=t_ro_def * 1e3, N=N_ls)
+    current["initial_rollout_defect_ms@N100000"] = t_ro_def * 1e3
 
     # --- Secondary: long-horizon multiple-shooting solve (every stage
     # parallel-in-time: fused backward + affine update + defect init). ---
@@ -211,21 +380,23 @@ def main():
     )
     cfg_ms = it.IlqrConfig(maxiter=60, tol=1e-5, backward="pallas",
                            init_rollout="defect")
-    ms_fn = jax.jit(lambda x: solve_ms(
-        sys_p, x, jnp.zeros((N_ms, 1)), config=cfg_ms,
-        ms=MsConfig(update_engine="pallas")).cost)
-    t_ms = timeit(ms_fn, jnp.array([1.0, 0.0]), reps=3)
+    t_ms = fetch_timeit(
+        lambda x: solve_ms(sys_p, x, jnp.zeros((N_ms, 1)), config=cfg_ms,
+                           ms=MsConfig(update_engine="pallas")).cost,
+        jnp.array([1.0, 0.0]), reps=4, rtt=rtt)
     log(metric="multiple_shooting_solve_100k_ms", value=t_ms * 1e3, N=N_ms)
+    current["multiple_shooting_solve_100k_ms@N100000"] = t_ms * 1e3
 
     # --- Secondary: batched solves/s (BASELINE config 4 throughput). ---
     B, N_b = 1024, 128
     x0s = jnp.zeros((B, 4)).at[:, 0].add(jnp.linspace(0, 0.5, B))
     cfg_b = it.IlqrConfig(maxiter=10, tol=1e-5, backward="scan")
-    batched = jax.jit(
-        jax.vmap(lambda x0: it.solve(sys_, x0, jnp.zeros((N_b, 2)), cfg_b).cost)
-    )
-    t_b = timeit(batched, x0s, reps=3)
-    log(metric="batched_solves_per_s", value=B / t_b, B=B, N=N_b)
+    t_b = fetch_timeit(
+        jax.vmap(lambda x0: it.solve(sys_, x0, jnp.zeros((N_b, 2)), cfg_b).cost),
+        x0s, reps=6, rtt=rtt)
+    batched_solves_per_s = B / t_b
+    log(metric="batched_solves_per_s", value=batched_solves_per_s, B=B, N=N_b)
+    current["batched_solves_per_s"] = batched_solves_per_s
 
     # --- Secondary: batched closed-loop MPC step-solves/s. ---
     from ilqr_tpu.mpc import run_mpc_batched
@@ -233,15 +404,13 @@ def main():
     B_m, N_h, N_sim = 512, 64, 50
     x0m = jnp.zeros((B_m, 4)).at[:, 1].add(jnp.linspace(-0.3, 0.3, B_m))
     cfg_m = it.IlqrConfig(maxiter=5, tol=1e-4)
-    mpc = jax.jit(
+    t_m = fetch_timeit(
         lambda xs: run_mpc_batched(
-            sys_, sys_, xs, jnp.zeros((N_h, 2)), N_sim, cfg_m
-        ).cost
-    )
-    t_m = timeit(mpc, x0m, reps=2, warmup=1)
-    batched_solves_per_s = B / t_b
+            sys_, sys_, xs, jnp.zeros((N_h, 2)), N_sim, cfg_m).cost,
+        x0m, reps=3, warmup=1, rtt=rtt)
     log(metric="batched_mpc_step_solves_per_s", value=B_m * N_sim / t_m,
         B=B_m, N_sim=N_sim, horizon=N_h)
+    current["batched_mpc_step_solves_per_s"] = B_m * N_sim / t_m
 
     # --- Single-instance MPC step latency (the reference's actual use case:
     # pendulum, horizon N=200, maxiter=10, warm-started — run_iLQR_MPC.py:
@@ -267,16 +436,18 @@ def main():
     mpc_1 = jax.jit(lambda x: run_mpc(
         sys_pend_s, sys_pend_p, x, jnp.zeros((H, 1)), N_sim_1, cfg_1).cost)
     x0_1 = jnp.array([1.0, 0.0])
-    t_mpc = timeit(mpc_1, x0_1, reps=3, warmup=1) / N_sim_1
+    t_mpc = fetch_timeit(mpc_1, x0_1, reps=4, warmup=1, rtt=rtt) / N_sim_1
     log(metric="mpc_step_latency_ms", value=t_mpc * 1e3, N_sim=N_sim_1,
         horizon=H, mode="full")
+    current["mpc_step_latency_ms@full"] = t_mpc * 1e3
     # RTI proper: ONE Newton (iLQR) iteration per solve, warm-started.
     cfg_rti = it.IlqrConfig(maxiter=1, tol=1e-5)
     rti_1 = jax.jit(lambda x: run_mpc_rti(
         sys_pend_s, sys_pend_p, x, jnp.zeros((H, 1)), N_sim_1, cfg_rti).cost)
-    t_rti = timeit(rti_1, x0_1, reps=3, warmup=1) / N_sim_1
+    t_rti = fetch_timeit(rti_1, x0_1, reps=4, warmup=1, rtt=rtt) / N_sim_1
     log(metric="mpc_step_latency_ms", value=t_rti * 1e3, N_sim=N_sim_1,
         horizon=H, mode="rti")
+    current["mpc_step_latency_ms@rti"] = t_rti * 1e3
     del os.environ["ILQR_TPU_SCAN_UNROLL"]
     # RTI counts only if the closed loop still reaches the same quality.
     c_full, c_rti = float(mpc_1(x0_1)), float(rti_1(x0_1))
@@ -290,8 +461,16 @@ def main():
     r_mpc = REFERENCE_MPC_STEP_S / t_mpc_best
     r_batched = batched_solves_per_s / REFERENCE_BATCHED_SOLVES_PER_S
     composite = (r_backward * r_solve * r_mpc * r_batched) ** 0.25
+    current["component:backward_pass_x"] = r_backward
+    current["component:full_solve_x"] = r_solve
+    current["component:mpc_step_x"] = r_mpc
+    current["component:batched_solves_x"] = r_batched
 
-    print(json.dumps({
+    # Cross-round regression table (VERDICT r2 item 1): per-axis deltas vs
+    # every prior BENCH_r*.json artifact, >10% losses flagged.
+    regression_table(current, load_prior_rounds())
+
+    result = {
         "metric": "composite_speedup_vs_reference_cpu",
         "value": round(composite, 2),
         "unit": "x (geomean: backward, solve, mpc_step, batched)",
@@ -304,7 +483,13 @@ def main():
         },
         "backward_pass_timesteps_per_sec_per_chip": round(tps, 1),
         "vpu_utilization_estimate": round(vpu_util, 3),
-    }))
+        "timing_method": "v2: scalar-fetch completion, RTT-corrected / "
+                         "in-program slope",
+        "tunnel_rtt_ms": round(rtt * 1e3, 2),
+    }
+    if measured_util is not None:
+        result["vpu_utilization_xla_measured"] = round(measured_util, 3)
+    print(json.dumps(result))
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # axon-tunnel processes hang at normal interpreter exit

@@ -70,7 +70,10 @@ def _filter_elements(F, c, H, d, Q_proc, R_obs, m0, P0, Y):
     P_pred = F[0] @ P0 @ F[0].T + Q_proc
     S0 = H[0] @ P_pred @ H[0].T + R_obs
     K0 = solve_small(S0, H[0] @ P_pred).T
-    C0 = (eye - K0 @ H[0]) @ P_pred
+    # Joseph form, matching estimation.ekf_update's f32 robustness — the
+    # plain (I−KH)P update can lose PSD-ness under roundoff.
+    IKH0 = eye - K0 @ H[0]
+    C0 = IKH0 @ P_pred @ IKH0.T + K0 @ R_obs @ K0.T
     e0 = RiccatiElement(
         A=jnp.zeros_like(P0),
         b=m_pred + K0 @ (Y[0] - H[0] @ m_pred - d[0]),
@@ -151,13 +154,16 @@ def _default_x_lin(system: System, x0: jnp.ndarray, U: jnp.ndarray):
     trajectory in O(log N).  If they diverge (non-contracting dynamics from
     this record), fall back to the constant-x̂0 trajectory — the iterated
     re-linearization repairs a crude starting reference, same as
-    `shooting.solve_ms`'s init.
+    `shooting.solve_ms`'s init.  Divergence means non-finite OR a residual
+    defect large relative to the trajectory scale: a non-contracting sweep
+    can stall at a finite-but-garbage defect without overflowing.
     """
     from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout
 
     X_lin, _, defect = open_loop_defect_rollout(system, x0, U, iters=8,
                                                 exit_tol=1e-6)
-    ok = jnp.isfinite(defect)
+    scale = 1.0 + jnp.max(jnp.abs(X_lin))
+    ok = jnp.isfinite(defect) & (defect < 1e-3 * scale)
     const = jnp.broadcast_to(x0, X_lin.shape)
     return jnp.where(ok, X_lin, const)
 
@@ -203,6 +209,8 @@ def run_eks_parallel(
 
     Returns (X_s (N, n_x), P_s (N, n_x, n_x)) aligned like `run_eks`.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     if X_lin is None:
         X_lin = _default_x_lin(system, s0.x_hat, U)
 
@@ -221,7 +229,7 @@ def run_eks_parallel(
     N = U.shape[0]
     init = (X_lin, jnp.zeros((N, n_x), X_lin.dtype),
             jnp.zeros((N, n_x, n_x), X_lin.dtype))
-    _, X_s, P_s = jax.lax.fori_loop(0, max(iters, 1), body, init)
+    _, X_s, P_s = jax.lax.fori_loop(0, iters, body, init)
     return X_s, P_s
 
 

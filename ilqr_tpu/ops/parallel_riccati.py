@@ -201,7 +201,7 @@ def backward_pass_associative(
 @f32_matmuls
 def backward_pass_ddp_parallel(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0, hess=None,
-    noise=None, sweeps: int = 2, engine: str = "xla",
+    noise=None, sweeps: int = 3, engine: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-DDP / iLQG backward pass in O(sweeps·log N) depth.
 
@@ -219,9 +219,10 @@ def backward_pass_ddp_parallel(
 
     is a fixed-point iteration on the value trace whose fixed point IS the
     exact sequential recursion; near convergence of the outer solver the
-    trace barely moves between sweeps and 2 sweeps suffice (the line search
-    guards descent regardless — inexact gains cost iterations, not
-    correctness).
+    trace barely moves between sweeps (measured u_ff agreement with the
+    sequential recursion on the pendulum: 0.6% at 2 sweeps, 6e-6 at 4; the
+    line search guards descent regardless — inexact gains cost iterations,
+    not correctness).  The default matches ``IlqrConfig.ddp_sweeps``.
 
     ``engine='pallas'`` runs each suffix scan through the fused sublane
     kernel (`ops/pallas_riccati.py`), 'xla' through `associative_scan`.
