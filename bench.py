@@ -84,10 +84,16 @@ def fetch_timeit(fn, *args, reps=8, warmup=2, rtt=0.0):
 
 def slope_timeit(fn, args, r1=2, r2=10, reps=5):
     """Per-call kernel time via in-program repetition: run the kernel R times
-    inside one jitted lax.scan with a false data dependency (the running
-    scalar, times zero, perturbs the first float leaf so iterations can
-    neither be CSE'd nor reordered), fetch the final scalar, and take the
-    slope between R=r1 and R=r2.  RTT and dispatch cancel in the slope."""
+    inside one jitted lax.scan, fetch the final scalar, and take the slope
+    between R=r1 and R=r2.  RTT and dispatch cancel in the slope.
+
+    Iterations are chained by perturbing one input leaf with
+    `carry * 1e-38` — a REAL data dependency XLA cannot fold (the carry is a
+    runtime value) with no numerical effect at f32.  Neither `carry * 0`
+    (algebraic simplifier folds it) nor `lax.optimization_barrier` (ties
+    values operand-wise, so the kernel inputs stay loop-invariant) stops
+    loop-invariant code motion from hoisting the kernel out of the loop —
+    both were measured collapsing an 8192-step backward pass to "0.05 ms"."""
     flat, tree = jax.tree_util.tree_flatten(args)
     fi = next(i for i, l in enumerate(flat)
               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
@@ -96,7 +102,8 @@ def slope_timeit(fn, args, r1=2, r2=10, reps=5):
         def run(*leaves):
             def body(c, _):
                 leaves2 = list(leaves)
-                leaves2[fi] = leaves2[fi] + (c * 0.0).astype(leaves2[fi].dtype)
+                leaves2[fi] = leaves2[fi] + (
+                    c * jnp.float32(1e-38)).astype(leaves2[fi].dtype)
                 out = fn(*jax.tree_util.tree_unflatten(tree, leaves2))
                 return c + _scalarize(out), None
             tot, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
@@ -362,9 +369,11 @@ def main():
 
     t_ro_seq = fetch_timeit(lambda u: it.rollout(sys_, jnp.zeros(4), u)[1],
                             U_ls, reps=3, rtt=rtt)
-    t_ro_def = fetch_timeit(
+    # Slope-timed: the defect rollout is faster than the RTT jitter, so
+    # fetch-RTT subtraction can go negative.
+    t_ro_def = slope_timeit(
         lambda u: open_loop_defect_rollout(sys_, jnp.zeros(4), u, iters=8)[1],
-        U_ls, reps=4, rtt=rtt)
+        (U_ls,), r1=1, r2=5)
     log(metric="initial_rollout_sequential_ms", value=t_ro_seq * 1e3, N=N_ls)
     log(metric="initial_rollout_defect_ms", value=t_ro_def * 1e3, N=N_ls)
     current["initial_rollout_defect_ms@N100000"] = t_ro_def * 1e3

@@ -15,6 +15,7 @@ from ilqr_tpu.models.double_pendulum import make_double_pendulum
 from ilqr_tpu.models.linear import make_lti, cont2disc
 from ilqr_tpu.models.cartpole import make_cartpole
 from ilqr_tpu.models.quadrotor import make_quadrotor
+from ilqr_tpu.models.quadrotor3d import make_quadrotor3d
 from ilqr_tpu.models.car import make_car
 from ilqr_tpu.models.neural import make_neural_residual, fit_dynamics
 from ilqr_tpu.models.tracking import make_tracking_system, augment_x0, strip_clock
@@ -59,7 +60,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "System", "INTEGRATORS", "make_pendulum", "make_double_pendulum",
-    "make_cartpole", "make_quadrotor", "make_car",
+    "make_cartpole", "make_quadrotor", "make_quadrotor3d", "make_car",
     "make_lti", "cont2disc", "step", "rollout", "closed_loop_rollout",
     "linearize_trajectory", "TrajectoryExpansion", "backward_pass",
     "backward_pass_associative", "lqr_solve", "lqr_backward",

@@ -53,7 +53,8 @@ def _mpc_auto_config(config: IlqrConfig, n_x: int) -> IlqrConfig:
     if config.init_rollout == "auto":
         kw["init_rollout"] = "defect"
     if (config.backward == "auto" and not config.ddp
-            and config.noise is None and config.u_min is None and n_x <= 8):
+            and config.noise is None and config.u_min is None):
+        # pscan is dimension-generic (no Pallas VMEM cap applies here).
         kw["backward"] = "pscan"
     if config.defect_engine == "auto":
         # XLA scans fuse into the surrounding program; at MPC-scale horizons

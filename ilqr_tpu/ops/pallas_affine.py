@@ -206,15 +206,15 @@ def affine_prefix_scan_multi(
 
     P: (N, n, n) shared transition chain; q: (A, N, n) per-candidate drives;
     delta0: (A, n) initial deltas.  Returns δ: (A, N+1, n) with δ[:, 0] = δ0.
-    O(log N) depth; engine 'pallas' requires n ≤ 8 (lane-major kernel),
-    'auto' picks pallas on TPU for n ≤ 8 and XLA associative scan otherwise.
+    O(log N) depth; engine 'pallas' requires n ≤ 12 (lane-major kernel),
+    'auto' picks pallas on TPU for n ≤ 12 and XLA associative scan otherwise.
     """
     N, n_x = P.shape[0], P.shape[-1]
     A = q.shape[0]
     if engine == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        engine = "pallas" if (on_tpu and n_x <= 8) else "xla"
-    if engine == "pallas" and n_x > 8:
+        engine = "pallas" if (on_tpu and n_x <= 12) else "xla"
+    if engine == "pallas" and n_x > 12:
         engine = "xla"
 
     if engine == "xla":

@@ -126,7 +126,7 @@ def _inv4(A):
 
 
 def _inv_qr_rows(A):
-    """Row-symbolic Householder-QR inverse for 5 ≤ n ≤ 8 (unrolled).
+    """Row-symbolic Householder-QR inverse for 5 ≤ n ≤ 16 (unrolled).
 
     Mirrors `ilqr_tpu.ops.smallmat._inv_qr`: backward stable with no
     pivoting (error ~cond·eps — the unpivoted block-Schur alternative loses
@@ -170,9 +170,9 @@ def _minv(A):
     n = len(A)
     if n <= 4:
         return {1: _inv1, 2: _inv2, 3: _inv3, 4: _inv4}[n](A)
-    if n <= 8:
+    if n <= 16:
         return _inv_qr_rows(A)
-    raise ValueError(f"row-symbolic inverse supports n <= 8, got {n}")
+    raise ValueError(f"row-symbolic inverse supports n <= 16, got {n}")
 
 
 def _combine_rows(Ei, Ej, n_x):
@@ -643,7 +643,10 @@ def _close_blocks(local: RiccatiElement, M: int, n_x: int, blk: int,
 def suffix_scan_pallas(
     elems: RiccatiElement, interpret: bool = False, layout: str = "sub"
 ) -> RiccatiElement:
-    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 8).
+    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 12;
+    the cap is VMEM-driven — F = 3n_x²+2n_x working rows per block at the
+    minimum l_blk = 128 exceed the scoped budget beyond n_x ≈ 12-14 — not an
+    algebra limit; larger n_x falls back to the XLA associative scan).
 
     layout='sub' (default): sublane-packed kernel, fully dense VPU tiles.
     layout='lane': original (1, N)-row kernel.
@@ -652,7 +655,7 @@ def suffix_scan_pallas(
 
     M = elems.A.shape[0]
     n_x = elems.A.shape[-1]
-    if n_x > 8:
+    if n_x > 12:
         return suffix_scan(elems)
 
     if layout == "sub":
@@ -925,13 +928,14 @@ def backward_pass_pallas_fused(
     interpret: bool = False, defects=None,
 ):
     """Fully fused Pallas backward pass; same contract as
-    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 8, n_u ≤ 6), incl. the GNMS
-    ``defects`` variant (`ilqr_tpu.shooting`)."""
+    `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 12, n_u ≤ 6 — the VMEM-
+    driven cap of `suffix_scan_pallas`), incl. the GNMS ``defects`` variant
+    (`ilqr_tpu.shooting`)."""
     from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
-    if n_x > 8 or n_u > 6:
+    if n_x > 12 or n_u > 6:
         return backward_pass_associative(exp, reg, defects=defects)
     M = N + 1
     F = _num_fields(n_x)

@@ -12,11 +12,12 @@ Strategy by static dimension:
     n = 1, 2, 3 : adjugate (cofactor) inverse — pure elementwise arithmetic
     n = 4       : 2×2 block inversion via Schur complement (each block solve
                   is a 2×2 adjugate) — still pure elementwise arithmetic
-    n = 5 … 8   : fully-unrolled batched Householder QR inverse — backward
+    n = 5 … 16  : fully-unrolled batched Householder QR inverse — backward
                   stable without pivoting (error ~cond(A)·eps, the working-
-                  precision optimum); covers quadrotor n_x=6 and
-                  time-augmented states in the implicit integrators
-    n ≥ 9       : fall back to jnp.linalg.solve
+                  precision optimum); covers the planar quadrotor (n_x=6),
+                  the 3-D quadrotor (n_x=12) and time-augmented states in
+                  the implicit integrators
+    n ≥ 17      : fall back to jnp.linalg.solve
 
 All functions are batched over arbitrary leading axes and differentiable.
 The n ≤ 4 adjugate/Schur forms are unpivoted: for SPD/regularized matrices
@@ -89,7 +90,7 @@ def inv4(A):
 
 
 def _inv_qr(A):
-    """Batched inverse via fully-unrolled Householder QR (n ≤ 8, n static).
+    """Batched inverse via fully-unrolled Householder QR (n ≤ 16, n static).
 
     Replaces the round-1 unpivoted block-Schur + Newton–Schulz scheme, which
     lost ~2 digits whenever the leading 4×4 block was ill-conditioned relative
@@ -135,7 +136,7 @@ def _inv_qr(A):
 
 
 def inv_small(A):
-    """Closed-form inverse for (…, n, n), n ≤ 8; jnp.linalg.inv otherwise."""
+    """Closed-form inverse for (…, n, n), n ≤ 16; jnp.linalg.inv otherwise."""
     n = A.shape[-1]
     if n == 1:
         return 1.0 / A
@@ -145,7 +146,7 @@ def inv_small(A):
         return inv3(A)
     if n == 4:
         return inv4(A)
-    if n <= 8:
+    if n <= 16:
         return _inv_qr(A)
     return jnp.linalg.inv(A)
 
@@ -153,12 +154,12 @@ def inv_small(A):
 def solve_small(A, B):
     """Solve A X = B for (…, n, n) A with static n.
 
-    B: (…, n) or (…, n, m).  Uses the closed-form inverse for n ≤ 8 — one
+    B: (…, n) or (…, n, m).  Uses the closed-form inverse for n ≤ 16 — one
     shared inverse amortized across all right-hand sides, all elementwise
     VPU arithmetic (plus tiny block matmuls for n ≥ 5).
     """
     n = A.shape[-1]
-    if n > 8:
+    if n > 16:
         return jnp.linalg.solve(A, B)
     Ai = inv_small(A)
     if B.ndim == A.ndim - 1:
