@@ -37,9 +37,11 @@ REFERENCE_FULL_SOLVE_S = 1.462                 # DP open loop, maxiter=200
 REFERENCE_MPC_STEP_S = 0.03054                 # pendulum MPC, horizon 200
 REFERENCE_BATCHED_SOLVES_PER_S = 71.6          # DP N=128 maxiter=10, serial
 
-# VPU fp32 peak used for the utilization estimate (TPU v5e: 4 MXU-adjacent
-# vector units, ~4e12 f32 op/s — the scaling-book number for v5e VPU).
-VPU_PEAK_F32 = 4.0e12
+# VPU fp32 FMA peak used for the utilization estimate (TPU v5e: 8 sublanes
+# x 128 lanes x 4 ALUs x ~0.94 GHz x 2 ops/FMA ~ 7.7e12; round-3 slope-timed
+# kernels measured ~1.08x the old non-FMA 4e12 figure, i.e. the model was
+# undercounting the denominator by the FMA factor).
+VPU_PEAK_F32 = 7.7e12
 
 
 def log(**kw):
@@ -82,18 +84,27 @@ def fetch_timeit(fn, *args, reps=8, warmup=2, rtt=0.0):
     return max(min(ts) - rtt, 1e-9)
 
 
-def slope_timeit(fn, args, r1=2, r2=10, reps=5):
+def slope_timeit(fn, args, reps=5, target_work_s=0.15, r_cap=4096, **_legacy):
     """Per-call kernel time via in-program repetition: run the kernel R times
     inside one jitted lax.scan, fetch the final scalar, and take the slope
-    between R=r1 and R=r2.  RTT and dispatch cancel in the slope.
+    between R=1 and an adaptively chosen R₂.  RTT and dispatch cancel in
+    the slope.
 
     Iterations are chained by perturbing one input leaf with
-    `carry * 1e-38` — a REAL data dependency XLA cannot fold (the carry is a
-    runtime value) with no numerical effect at f32.  Neither `carry * 0`
-    (algebraic simplifier folds it) nor `lax.optimization_barrier` (ties
-    values operand-wise, so the kernel inputs stay loop-invariant) stops
-    loop-invariant code motion from hoisting the kernel out of the loop —
-    both were measured collapsing an 8192-step backward pass to "0.05 ms"."""
+    `carry * 1e-20` — a REAL data dependency XLA cannot fold (the carry is a
+    runtime value) with no numerical effect on O(1) f32 data.  The constant
+    must be a NORMAL f32: with a subnormal (1e-38) the TPU's flush-to-zero
+    lets the compiler canonicalize the product to 0 and hoist the kernel
+    out of the loop.  Neither `carry * 0` (algebraic simplifier) nor
+    `lax.optimization_barrier` (ties values operand-wise, inputs stay
+    loop-invariant) stops loop-invariant code motion either — all three
+    were measured collapsing an 8192-step backward pass to "0.05 ms".
+
+    R₂ is chosen so the extra work is ≥ `target_work_s`, well above the
+    several-ms RTT jitter of the tunnel: these kernels run in tens of µs
+    (a 4096-step fused backward: ~60 µs), so a fixed small R₂ leaves the
+    slope buried in fetch noise.  The two programs' repetitions are also
+    interleaved so slow RTT drift hits both equally."""
     flat, tree = jax.tree_util.tree_flatten(args)
     fi = next(i for i, l in enumerate(flat)
               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
@@ -103,25 +114,33 @@ def slope_timeit(fn, args, r1=2, r2=10, reps=5):
             def body(c, _):
                 leaves2 = list(leaves)
                 leaves2[fi] = leaves2[fi] + (
-                    c * jnp.float32(1e-38)).astype(leaves2[fi].dtype)
+                    c * jnp.float32(1e-20)).astype(leaves2[fi].dtype)
                 out = fn(*jax.tree_util.tree_unflatten(tree, leaves2))
                 return c + _scalarize(out), None
             tot, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
             return tot
         return jax.jit(run)
 
-    t = {}
+    # Pilot: upper-bound the per-call time with a medium R, pick R2 from it.
+    r1, r_pilot = 1, 32
+    pilot = repeated(r_pilot)
+    float(pilot(*flat))
+    t0 = time.perf_counter()
+    float(pilot(*flat))
+    t_call_ub = max((time.perf_counter() - t0) / r_pilot, 2e-6)
+    r2 = int(min(r_cap, max(r_pilot, target_work_s / t_call_ub)))
+
+    progs = {r1: repeated(r1), r2: repeated(r2) if r2 != r_pilot else pilot}
     for R in (r1, r2):
-        prog = repeated(R)
         for _ in range(2):
-            float(prog(*flat))
-        ts = []
-        for _ in range(reps):
+            float(progs[R](*flat))
+    t = {r1: [], r2: []}
+    for _ in range(reps):
+        for R in (r1, r2):
             t0 = time.perf_counter()
-            float(prog(*flat))
-            ts.append(time.perf_counter() - t0)
-        t[R] = min(ts)
-    return max((t[r2] - t[r1]) / (r2 - r1), 1e-9)
+            float(progs[R](*flat))
+            t[R].append(time.perf_counter() - t0)
+    return max((min(t[r2]) - min(t[r1])) / (r2 - r1), 1e-9)
 
 
 def load_prior_rounds():
@@ -358,7 +377,7 @@ def main():
         exp_lim, U_lim, reps=4, rtt=rtt)
     t_lb_par = slope_timeit(
         lambda e, u: backward_pass_limited_parallel(e, u, lo_l, hi_l, 0.0)[0],
-        (exp_lim, U_lim))
+        (exp_lim, U_lim), r1=2, r2=26)
     log(metric="limited_backward_sequential_ms", value=t_lb_seq * 1e3, N=N_lim)
     log(metric="limited_backward_parallel_ms", value=t_lb_par * 1e3, N=N_lim)
     current["limited_backward_sequential_ms@N32768"] = t_lb_seq * 1e3
