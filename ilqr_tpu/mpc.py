@@ -91,17 +91,21 @@ def run_mpc(
         config = _mpc_auto_config(config, solver_system.n_x)
 
     def mpc_step(carry, _):
-        x, U_warm = carry
-        sol = solve(solver_system, x, U_warm, config)
+        x, U_warm, latch = carry
+        sol = solve(solver_system, x, U_warm, config, defect_latch=latch)
         u0 = sol.U[0]
         x_next = step(plant_system, x, u0)
         # Shift-and-hold warm start (`run_iLQR_MPC.py:137`).
         U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
         c = plant_system.stage_cost(plant_system.params, x, u0)
-        return (x_next, U_next), (x, u0, c, sol.iterations, sol.status)
+        # The latch travels in the scan carry: a drift-prone problem that
+        # failed parallel-rollout certification once stops paying the
+        # phase1+phase2+exact-fallback price on every subsequent step.
+        return (x_next, U_next, sol.defect_latch), (
+            x, u0, c, sol.iterations, sol.status)
 
-    (x_N, _), (X_head, U, cs, iters, status) = jax.lax.scan(
-        mpc_step, (x0, U_init), None, length=n_sim
+    (x_N, _, _), (X_head, U, cs, iters, status) = jax.lax.scan(
+        mpc_step, (x0, U_init, jnp.asarray(True)), None, length=n_sim
     )
     cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
     X = jnp.concatenate([X_head, x_N[None]], axis=0)
@@ -138,8 +142,8 @@ def run_mpc_rti(
     limits = config.limit_arrays(U_init.shape[-1], U_init.dtype)
 
     def outer(carry, _):
-        x, U_warm = carry
-        sol = solve(solver_system, x, U_warm, config)
+        x, U_warm, latch = carry
+        sol = solve(solver_system, x, U_warm, config, defect_latch=latch)
 
         def inner(x, j):
             u = sol.U[j] + matvec_(sol.K[j], x - sol.X[j])
@@ -156,11 +160,12 @@ def run_mpc_rti(
             [sol.U[resolve_every:],
              jnp.broadcast_to(sol.U[-1], (resolve_every,) + sol.U[-1].shape)],
             axis=0)
-        return (x_end, U_next), (Xs, Us, cs, sol.iterations, sol.status)
+        return (x_end, U_next, sol.defect_latch), (
+            Xs, Us, cs, sol.iterations, sol.status)
 
     matvec_ = lambda M, v: M @ v
-    (x_N, _), (Xs, Us, cs, iters, status) = jax.lax.scan(
-        outer, (x0, U_init), None, length=n_outer)
+    (x_N, _, _), (Xs, Us, cs, iters, status) = jax.lax.scan(
+        outer, (x0, U_init, jnp.asarray(True)), None, length=n_outer)
     X_head = Xs.reshape((-1,) + Xs.shape[2:])
     U = Us.reshape((-1,) + Us.shape[2:])
     cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)

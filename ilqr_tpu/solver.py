@@ -235,6 +235,12 @@ class IlqrSolution:
     cost_trace: Any   # (maxiter,) cost after each iteration (nan-padded)
     alpha_trace: Any  # (maxiter,) accepted α per iteration (nan-padded)
     grad_trace: Any   # (maxiter,) max |u_ff| per iteration (nan-padded)
+    # Final state of the parallel-line-search latch (True = the parallel
+    # rollouts were still certifying when the solve ended).  Warm-startable:
+    # feed it back as `solve(..., defect_latch=...)` so a drift-prone MPC
+    # problem stops re-paying phase1+phase2+exact-fallback on EVERY step
+    # (the latch otherwise resets per solve call inside the MPC scan).
+    defect_latch: Any
 
 
 def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
@@ -317,10 +323,17 @@ def solve(
     x0: jnp.ndarray,
     U_init: jnp.ndarray,
     config: IlqrConfig = IlqrConfig(),
+    defect_latch: Any = None,
 ) -> IlqrSolution:
     """Solve the trajectory-optimization problem. Pure; safe to jit/vmap.
 
     Time-major layout: U_init (N, n_u); returns X (N+1, n_x).
+
+    ``defect_latch`` (optional bool array) warm-starts the parallel
+    line-search latch from a previous related solve (MPC loops thread
+    `IlqrSolution.defect_latch` through their scan carry); ``None`` starts
+    fresh — the parallel path is tried iff the resolved rollout engine is
+    parallel-in-time.
     """
     if U_init.ndim != 2 or U_init.shape[1] != system.n_u:
         # Mirrors the reference's constructor-time validation
@@ -369,7 +382,10 @@ def solve(
         alpha_trace=nan,
         grad_trace=nan,
         # Parallel-line-search latch (see the defect/chunked branch).
-        use_defect=jnp.asarray(rollout_mode in ("defect", "chunked")),
+        use_defect=(jnp.asarray(rollout_mode in ("defect", "chunked"))
+                    if defect_latch is None
+                    else jnp.asarray(defect_latch)
+                    & (rollout_mode in ("defect", "chunked"))),
     )
 
     def cond(s):
@@ -617,4 +633,5 @@ def solve(
         X=s["X"], U=s["U"], cost=s["cost"], iterations=s["k"], status=status,
         u_ff=s["u_ff"], K=s["K"], cost_trace=s["cost_trace"],
         alpha_trace=s["alpha_trace"], grad_trace=s["grad_trace"],
+        defect_latch=s["use_defect"],
     )

@@ -181,3 +181,26 @@ def test_mpc_parallel_inner_engines_match_sequential():
     np.testing.assert_allclose(float(par.cost), float(seq.cost), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(par.X[-1]), np.asarray(seq.X[-1]),
                                atol=1e-2)
+
+
+def test_defect_latch_warm_start():
+    """solve() exposes the parallel-line-search latch and accepts it back:
+    a False latch forces the exact line search from iteration one (same
+    optimum, no parallel-path attempts), and MPC loops thread it through
+    their scan carry (run_mpc/_rti)."""
+    sys_ = it.make_pendulum(0.01, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
+                            Q_f=jnp.zeros((2, 2)), d=0.0, integrator="euler")
+    x0, U0 = jnp.array([1.0, 0.0]), jnp.zeros((300, 1))
+    cfg = it.IlqrConfig(maxiter=80, tol=1e-7, rollout="defect",
+                        init_rollout="scan")
+    s_on = it.solve(sys_, x0, U0, cfg)
+    s_off = it.solve(sys_, x0, U0, cfg, defect_latch=False)
+    # Healthy pendulum: the parallel path certifies throughout -> latch
+    # stays up; forcing it down must not change the optimum.
+    assert bool(s_on.defect_latch)
+    assert not bool(s_off.defect_latch)
+    assert abs(float(s_on.cost) - float(s_off.cost)) < 1e-3
+    # The sequential engine reports the latch as down (no parallel path).
+    s_seq = it.solve(sys_, x0, U0, it.IlqrConfig(maxiter=80, tol=1e-7,
+                                                 rollout="scan"))
+    assert not bool(s_seq.defect_latch)
