@@ -72,16 +72,28 @@ def measure_rtt(reps=15):
 
 
 def fetch_timeit(fn, *args, reps=8, warmup=2, rtt=0.0):
-    """min over reps of (call + scalar fetch) − rtt.  For long programs."""
+    """min over reps of (call + scalar fetch) − locally measured RTT.
+
+    The trivial-program fetch is INTERLEAVED with the measured program so
+    the subtracted RTT reflects the tunnel's state at measurement time —
+    the startup RTT drifts by several ms over a bench run, which made
+    10-15 ms measurements swing ±30% between runs.  The `rtt` argument is
+    kept as a floor for callers that already measured it."""
     timed = jax.jit(lambda *a: _scalarize(fn(*a)))
+    triv = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.float32(0.0)
+    float(triv(x0))
     for _ in range(warmup):
         float(timed(*args))
-    ts = []
+    ts, tt = [], []
     for _ in range(reps):
+        t0 = time.perf_counter()
+        float(triv(x0))
+        tt.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(timed(*args))
         ts.append(time.perf_counter() - t0)
-    return max(min(ts) - rtt, 1e-9)
+    return max(min(ts) - min(min(tt), rtt if rtt else min(tt)), 1e-9)
 
 
 def slope_timeit(fn, args, reps=5, target_work_s=0.15, r_cap=4096, **_legacy):
@@ -170,6 +182,8 @@ def load_prior_rounds():
             key = name
             if "N" in d:
                 key += f"@N{d['N']}"
+            if "system" in d:
+                key += f"@{d['system']}"
             if "mode" in d:
                 key += f"@{d['mode']}"
             if "value" in d:
@@ -481,6 +495,48 @@ def main():
     c_full, c_rti = float(mpc_1(x0_1)), float(rti_1(x0_1))
     log(metric="mpc_closed_loop_cost", full=c_full, rti=c_rti)
     t_mpc_best = min(t_mpc, t_rti) if c_rti <= 1.05 * c_full else t_mpc
+
+    # --- MPC auto-config validation beyond the pendulum (VERDICT r2 item
+    # 6): cartpole (drift-prone dynamics — the family that broke the defect
+    # path at solver level) and the 3-D quadrotor (n_x=12), auto engines vs
+    # the fixed sequential engines.  Auto must be within ~10% of the better
+    # one on each system. ---
+    os.environ["ILQR_TPU_SCAN_UNROLL"] = "4"
+    from ilqr_tpu.models.quadrotor3d import (
+        default_weights as q3_weights,
+        hover_controls as q3_hover,
+        make_quadrotor3d,
+    )
+
+    sys_cart = it.make_cartpole(
+        0.01, [0.0, jnp.pi, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([1.0, 10.0, 0.1, 0.1])), R=0.1 * jnp.eye(1),
+        Q_f=jnp.diag(jnp.array([100.0, 500.0, 10.0, 10.0])),
+        integrator="rk4")
+    Q3, R3, Qf3 = q3_weights()
+    sys_q3 = make_quadrotor3d(0.02, [0.5, 0.5, 0.5] + [0.0] * 9, Q3, R3, Qf3)
+    cfg_auto = it.IlqrConfig(maxiter=10, tol=1e-5)
+    cfg_seq = it.IlqrConfig(maxiter=10, tol=1e-5, rollout="scan",
+                            backward="scan", init_rollout="scan")
+    mpc_cases = [
+        ("cartpole", sys_cart, jnp.array([0.0, 0.3, 0.0, 0.0]),
+         jnp.zeros((200, 1)), 200),
+        ("quadrotor3d", sys_q3,
+         jnp.zeros(12), jnp.broadcast_to(q3_hover(sys_q3.params), (100, 4)),
+         150),
+    ]
+    for name, sys_m, x0_m, U0_m, n_sim_m in mpc_cases:
+        for mode, cfg_m2, auto_p in (("auto", cfg_auto, True),
+                                     ("sequential", cfg_seq, False)):
+            t_m2 = fetch_timeit(
+                lambda x, _s=sys_m, _u=U0_m, _n=n_sim_m, _c=cfg_m2,
+                _a=auto_p: run_mpc(_s, _s, x, _u, _n, _c,
+                                   auto_parallel=_a).cost,
+                x0_m, reps=3, warmup=1, rtt=rtt) / n_sim_m
+            log(metric="mpc_step_latency_ms", value=t_m2 * 1e3,
+                system=name, horizon=U0_m.shape[0], mode=mode)
+            current[f"mpc_step_latency_ms@{name}@{mode}"] = t_m2 * 1e3
+    del os.environ["ILQR_TPU_SCAN_UNROLL"]
 
     # --- Composite: geometric mean of the four per-axis speedups
     # (BASELINE.md documents the formula + denominators). ---

@@ -63,6 +63,19 @@ def _mpc_auto_config(config: IlqrConfig, n_x: int) -> IlqrConfig:
     return dataclasses.replace(config, **kw) if kw else config
 
 
+# Steps to keep the parallel line search disabled after a certification
+# failure before re-probing it (see run_mpc's cooldown carry).  Default 0 =
+# re-probe every solve: measured on v5e (pendulum H=200: 10% of solves fail
+# certification, clustered in the transient; cartpole swing-up: 20%,
+# interspersed), cross-step disabling LOSES on both — no-carry 0.62/1.24
+# ms/step vs cooldown=2 0.76/1.32 and permanent latch 1.65/— — because the
+# in-solve latch already bounds the fallback cost to once per solve while a
+# carried latch forces the slower exact line search onto healthy solves
+# after every transient failure.  Set >0 only for workloads where
+# certification failures are persistent runs, not interspersed.
+_LATCH_COOLDOWN = 0
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MpcResult:
@@ -91,21 +104,29 @@ def run_mpc(
         config = _mpc_auto_config(config, solver_system.n_x)
 
     def mpc_step(carry, _):
-        x, U_warm, latch = carry
-        sol = solve(solver_system, x, U_warm, config, defect_latch=latch)
+        x, U_warm, cooldown = carry
+        sol = solve(solver_system, x, U_warm, config,
+                    defect_latch=cooldown == 0)
         u0 = sol.U[0]
         x_next = step(plant_system, x, u0)
         # Shift-and-hold warm start (`run_iLQR_MPC.py:137`).
         U_next = jnp.concatenate([sol.U[1:], sol.U[-1:]], axis=0)
         c = plant_system.stage_cost(plant_system.params, x, u0)
-        # The latch travels in the scan carry: a drift-prone problem that
-        # failed parallel-rollout certification once stops paying the
-        # phase1+phase2+exact-fallback price on every subsequent step.
-        return (x_next, U_next, sol.defect_latch), (
+        # Certification-failure cooldown in the scan carry: a solve whose
+        # parallel line search tripped to the exact fallback disables the
+        # parallel path for the next _LATCH_COOLDOWN steps, then re-probes.
+        # (A permanent carry-latch measured 2.7x worse on the pendulum MPC
+        # loop: one transient failure pessimized every later step; no carry
+        # at all re-pays phase1+phase2+fallback per step under persistent
+        # drift.)
+        cooldown_next = jnp.where(
+            sol.defect_latch, jnp.zeros_like(cooldown),
+            jnp.where(cooldown == 0, _LATCH_COOLDOWN, cooldown - 1))
+        return (x_next, U_next, cooldown_next), (
             x, u0, c, sol.iterations, sol.status)
 
     (x_N, _, _), (X_head, U, cs, iters, status) = jax.lax.scan(
-        mpc_step, (x0, U_init, jnp.asarray(True)), None, length=n_sim
+        mpc_step, (x0, U_init, jnp.asarray(0)), None, length=n_sim
     )
     cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)
     X = jnp.concatenate([X_head, x_N[None]], axis=0)
@@ -142,8 +163,9 @@ def run_mpc_rti(
     limits = config.limit_arrays(U_init.shape[-1], U_init.dtype)
 
     def outer(carry, _):
-        x, U_warm, latch = carry
-        sol = solve(solver_system, x, U_warm, config, defect_latch=latch)
+        x, U_warm, cooldown = carry
+        sol = solve(solver_system, x, U_warm, config,
+                    defect_latch=cooldown == 0)
 
         def inner(x, j):
             u = sol.U[j] + matvec_(sol.K[j], x - sol.X[j])
@@ -160,12 +182,15 @@ def run_mpc_rti(
             [sol.U[resolve_every:],
              jnp.broadcast_to(sol.U[-1], (resolve_every,) + sol.U[-1].shape)],
             axis=0)
-        return (x_end, U_next, sol.defect_latch), (
+        cooldown_next = jnp.where(
+            sol.defect_latch, jnp.zeros_like(cooldown),
+            jnp.where(cooldown == 0, _LATCH_COOLDOWN, cooldown - 1))
+        return (x_end, U_next, cooldown_next), (
             Xs, Us, cs, sol.iterations, sol.status)
 
     matvec_ = lambda M, v: M @ v
     (x_N, _, _), (Xs, Us, cs, iters, status) = jax.lax.scan(
-        outer, (x0, U_init, jnp.asarray(True)), None, length=n_outer)
+        outer, (x0, U_init, jnp.asarray(0)), None, length=n_outer)
     X_head = Xs.reshape((-1,) + Xs.shape[2:])
     U = Us.reshape((-1,) + Us.shape[2:])
     cost = jnp.sum(cs) + plant_system.terminal_cost(plant_system.params, x_N)

@@ -774,3 +774,165 @@ def solve_constrained_ms_horizon_sharded(
         MAXITER, s["status"])
     X_full = jnp.concatenate([s["X"], s["xN"][None]], axis=0)
     return X_full, s["U"], s["cost"], s["violation"], s["j"], status
+
+
+# ---------------------------------------------------------------------------
+# 2-D (batch × time) sharded batched MPC: the instance batch shards over one
+# mesh axis while EVERY per-step solve iteration's horizon stages (local
+# linearization, distributed Riccati suffix scan, defect-sweep rollouts)
+# shard over the other.  The receding-horizon bookkeeping (first-control
+# broadcast, shift-and-hold warm start) adds one ppermute halo + one psum
+# per simulated step — still independent of the horizon length.
+# ---------------------------------------------------------------------------
+
+
+def _restore_plan(system, time_axis, D_t, sweeps, X_loc, xN, U_loc):
+    """Distributed feasibility restoration: defect-correction Newton sweeps
+    at FIXED controls, starting from an inconsistent (shifted / re-anchored)
+    state plan.  Returns a dynamically consistent (X_loc, xN) and its true
+    cost — the honest `cost0` the accept-if-lower line search needs (the
+    raw warm plan's cost is fictitious and can under-cut every feasible
+    candidate, dead-latching the solve at LINESEARCH_FAILED)."""
+
+    def sweep(_, val):
+        Xc, xNc = val
+        F = jax.vmap(lambda x, u: step(system, x, u))(Xc, U_loc)
+        A = jax.vmap(lambda x, u: jax.jacfwd(
+            lambda xx: step(system, xx, u))(x))(Xc, U_loc)
+        d = F - _shift_with_halo(time_axis, D_t, Xc, xNc)
+        delta0 = jnp.zeros_like(xNc)
+        deltas, delta_N = _dist_affine_prefix(time_axis, D_t, A, d, delta0)
+        return Xc + deltas, xNc + delta_N
+
+    X_loc, xN = jax.lax.fori_loop(0, sweeps, sweep, (X_loc, xN))
+    c_loc = jnp.sum(jax.vmap(lambda x, u: system.stage_cost(
+        system.params, x, u))(X_loc, U_loc))
+    cost = jax.lax.psum(c_loc, time_axis) + system.terminal_cost(
+        system.params, xN)
+    return X_loc, xN, cost
+
+
+def _mpc2d_body(solver_system, plant_system, config, alphas, n_sim,
+                batch_axis, time_axis, D_t, N_local, x0_loc, U_blk):
+    """Per-device body (runs under shard_map over (batch, time)).
+
+    x0_loc: (B_loc, n_x) local batch of plant states (replicated over time
+    shards); U_blk: (N_local, n_u) this time shard's slice of the shared
+    warm start.
+    """
+    B_loc = x0_loc.shape[0]
+    n_u = U_blk.shape[-1]
+
+    iterate = partial(_iteration, solver_system, config, alphas, time_axis,
+                      D_t, N_local)
+    restore = partial(_restore_plan, solver_system, time_axis, D_t,
+                      config.defect_iters)
+    # vmap over the local instance batch: the time-axis collectives inside
+    # (_sharded_backward's all-gather, the prefix-scan gathers, the halo
+    # ppermutes, the psum'd costs) batch elementwise over the unnamed vmap
+    # axis — each instance still synchronizes only along `time`.
+    iterate_b = jax.vmap(iterate)
+    restore_b = jax.vmap(restore)
+
+    def mpc_step(carry, _):
+        x, U_loc, X_loc, xN = carry
+        # Pin the warm-start plan's first node to the measured state on the
+        # first time shard (receding-horizon re-anchoring), then restore
+        # dynamic consistency at fixed controls.
+        is_first = jax.lax.axis_index(time_axis) == 0
+        X_loc = jnp.where(is_first, X_loc.at[:, 0].set(x), X_loc)
+        X_loc, xN, cost0 = restore_b(X_loc, xN, U_loc)
+
+        def inner(i, c):
+            out = iterate_b(c)
+            # Freeze failed instances (masked update keeps the vmapped lanes
+            # independent despite the shared fori_loop trip count).
+            running = c[6] == RUNNING
+            return jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    running.reshape((B_loc,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                out, c)
+
+        init = (X_loc, xN, U_loc, cost0,
+                jnp.full((B_loc,), jnp.inf, x.dtype),
+                jnp.zeros((B_loc,), jnp.int32),
+                jnp.full((B_loc,), RUNNING, jnp.int32))
+        X_s, xN_s, U_s, cost_s, _, _, _ = jax.lax.fori_loop(
+            0, config.maxiter, inner, init)
+
+        # First control of the global plan: shard 0's first local row.
+        u0 = jax.lax.psum(
+            jnp.where(is_first, U_s[:, 0, :], jnp.zeros((B_loc, n_u))),
+            time_axis)
+        c_applied = jax.vmap(lambda xx, uu: plant_system.stage_cost(
+            plant_system.params, xx, uu))(x, u0)
+        x_next = jax.vmap(lambda xx, uu: step(plant_system, xx, uu))(x, u0)
+
+        # Shift-and-hold warm start across shard boundaries: the halo is the
+        # right neighbor's first row; the last shard holds its last row.
+        def shift(A_loc, hold_last):
+            halo = jax.lax.ppermute(
+                A_loc[:, 0], time_axis, [(i, (i - 1) % D_t) for i in range(D_t)])
+            is_last = jax.lax.axis_index(time_axis) == D_t - 1
+            halo = jnp.where(is_last, hold_last, halo)
+            return jnp.concatenate([A_loc[:, 1:], halo[:, None]], axis=1)
+
+        U_next = shift(U_s, U_s[:, -1])
+        X_next = shift(X_s, xN_s)
+        return (x_next, U_next, X_next, xN_s), (x, u0, c_applied)
+
+    X0_plan = jnp.broadcast_to(
+        x0_loc[:, None, :], (B_loc, N_local, x0_loc.shape[-1]))
+    U0 = jnp.broadcast_to(U_blk[None], (B_loc,) + U_blk.shape)
+    (x_N, _, _, _), (Xs, Us, cs) = jax.lax.scan(
+        mpc_step, (x0_loc, U0, X0_plan, x0_loc), None, length=n_sim)
+    cost = jnp.sum(cs, axis=0) + jax.vmap(
+        lambda xx: plant_system.terminal_cost(plant_system.params, xx))(x_N)
+    X_sim = jnp.concatenate([jnp.swapaxes(Xs, 0, 1), x_N[:, None]], axis=1)
+    return X_sim, jnp.swapaxes(Us, 0, 1), cost
+
+
+@f32_matmuls
+def run_mpc_batched_2d(
+    solver_system: System,
+    plant_system: System,
+    x0_batch: jnp.ndarray,
+    U_init: jnp.ndarray,
+    n_sim: int,
+    config: IlqrConfig,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    time_axis: str = "time",
+):
+    """Batched closed-loop MPC over a 2-D (batch × time) mesh.
+
+    x0_batch: (B, n_x) with B divisible by mesh.shape[batch_axis];
+    U_init: (H, n_u) shared warm start with H divisible by
+    mesh.shape[time_axis].  Returns (X (B, n_sim+1, n_x), U (B, n_sim, n_u),
+    cost (B,)) — batch-sharded, time-replicated.
+
+    Inner solves warm-start BOTH the control and state plans (shifted, like
+    `mpc.run_mpc_ms`) and use the fully-distributed iteration of
+    `solve_horizon_sharded` — fixed `config.maxiter` iterations per step
+    with per-instance freeze-on-failure masking.
+    """
+    D_b = mesh.shape[batch_axis]
+    D_t = mesh.shape[time_axis]
+    B = x0_batch.shape[0]
+    H = U_init.shape[0]
+    if B % D_b != 0:
+        raise ValueError(f"batch B={B} not divisible by {D_b} shards")
+    if H % D_t != 0:
+        raise ValueError(f"horizon H={H} not divisible by {D_t} shards")
+    alphas = tuple(config.alpha_schedule())
+
+    fn = jax.shard_map(
+        partial(_mpc2d_body, solver_system, plant_system, config, alphas,
+                n_sim, batch_axis, time_axis, D_t, H // D_t),
+        mesh=mesh,
+        in_specs=(P(batch_axis), P(time_axis)),
+        out_specs=(P(batch_axis), P(batch_axis), P(batch_axis)),
+        check_vma=False,
+    )
+    return fn(x0_batch, U_init)
