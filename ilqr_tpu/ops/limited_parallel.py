@@ -114,6 +114,8 @@ def backward_pass_limited_parallel(
     reg: jnp.ndarray | float = 0.0,
     sweeps: int = 12,
     engine: str = "auto",
+    hess=None,
+    noise=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for `ops.riccati.backward_pass_limited` with
     O(sweeps · log N) depth.  Same contract: (u_ff, K, dV, ok), feedback rows
@@ -122,62 +124,119 @@ def backward_pass_limited_parallel(
     ``sweeps`` caps the active-set iteration; it exits early as soon as the
     set stops changing (near solver convergence that is 1-2 sweeps; far from
     it, heavily saturated horizons can use the full budget).
+
+    With ``hess`` (DDP second-order dynamics terms) and/or ``noise`` (iLQG
+    covariance terms — see `ops.riccati.backward_pass`), the two frozen
+    fixed-point mechanisms COMPOSE in one alternating iteration: each sweep
+    (1) folds the V(k+1)-coupled terms into the stage expansion at the
+    CARRIED value trace (as `parallel_riccati.backward_pass_ddp_parallel`),
+    (2) freezes the active set and runs the masked suffix scan, (3) updates
+    the trace and the set from the folded problem's Q-expansion.  The joint
+    fixed point satisfies the sequential limited-DDP/iLQG recursion's
+    conditions (clamped-KKT per step at a self-consistent trace); on ddp/
+    noise runs the early exit additionally requires the trace to have been
+    refreshed at least twice after the last set change.
     """
     N, n_u = U_old.shape
     dtype = exp.l_u.dtype
     reg = jnp.asarray(reg, dtype=dtype)
     if engine == "auto":
         engine = "pallas" if (jax.default_backend() == "tpu"
-                              and exp.v_x.shape[-1] <= 8) else "xla"
+                              and exp.v_x.shape[-1] <= 12) else "xla"
     lo_d = jnp.broadcast_to(u_lo, (N, n_u)).astype(dtype) - U_old
     hi_d = jnp.broadcast_to(u_hi, (N, n_u)).astype(dtype) - U_old
     eps = _BOUND_EPS * (1.0 + jnp.abs(hi_d - lo_d))
     eye_u = jnp.eye(n_u, dtype=dtype)
 
     n_x = exp.v_x.shape[-1]
+    second_order = hess is not None or noise is not None
+    # Trace refreshes required after the set stabilizes (the folded terms
+    # lag the trace by one sweep; 2 extra sweeps match
+    # backward_pass_ddp_parallel's measured accuracy budget).
+    settle = 2 if second_order else 0
+    if second_order:
+        # The alternating iteration splits the budget between set changes
+        # and trace refreshes: with the plain cap the torque-limited DP
+        # swing-up exhausted 12 sweeps mid-iteration far from convergence
+        # and the solver drifted to a worse basin (57.3 vs 45.6); doubling
+        # restores the sequential limited-DDP optimum from cold starts.
+        sweeps = 2 * sweeps
 
-    def one_sweep(free, du_c):
-        exp_m, d = masked_expansion(exp, du_c, free)
+    def fold(V_x_next, V_xx_next):
+        import dataclasses as _dc
+
+        e = exp
+        if hess is not None:
+            vx = V_x_next[:, :, None, None]
+            e = _dc.replace(
+                e,
+                l_xx=e.l_xx + jnp.sum(vx * hess.f_xx, axis=1),
+                l_ux=e.l_ux + jnp.sum(vx * hess.f_ux, axis=1),
+                l_uu=e.l_uu + jnp.sum(vx * hess.f_uu, axis=1))
+        if noise is not None:
+            from ilqr_tpu.ops.riccati import _noise_q_terms
+
+            q_x, q_u, q_xx, q_ux, q_uu = jax.vmap(_noise_q_terms)(
+                V_xx_next, *noise)
+            e = _dc.replace(
+                e, l_x=e.l_x + q_x, l_u=e.l_u + q_u, l_xx=e.l_xx + q_xx,
+                l_ux=e.l_ux + q_ux, l_uu=e.l_uu + q_uu)
+        return e
+
+    def one_sweep(free, du_c, V_x, V_xx):
+        e_fold = fold(V_x, V_xx) if second_order else exp
+        exp_m, d = masked_expansion(e_fold, du_c, free)
         V_x, V_xx = _suffix_values(exp_m, reg, d, engine)
         u_ff_f, K, dVs = gains_from_value(exp_m, V_x, V_xx, reg)
         dV = jnp.sum(dVs, axis=0)
         u_ff = jnp.clip(du_c + u_ff_f, lo_d, hi_d)
 
-        # Active-set update from the FULL problem's Q-expansion at the same
-        # cost-to-go: clamp where the clipped candidate is at a bound with
-        # the gradient pointing outward (projected-Newton rule); everything
-        # else — including previously clamped components whose gradient now
-        # points inward — is released.
-        fuT_Vxx = jnp.swapaxes(exp.f_u, -1, -2) @ V_xx
-        Q_u = exp.l_u + (jnp.swapaxes(exp.f_u, -1, -2) @ V_x[..., None])[..., 0]
-        Q_uu = exp.l_uu + fuT_Vxx @ exp.f_u + reg * eye_u
+        # Active-set update from the FULL (folded) problem's Q-expansion at
+        # the same cost-to-go: clamp where the clipped candidate is at a
+        # bound with the gradient pointing outward (projected-Newton rule);
+        # everything else — including previously clamped components whose
+        # gradient now points inward — is released.
+        fuT_Vxx = jnp.swapaxes(e_fold.f_u, -1, -2) @ V_xx
+        Q_u = e_fold.l_u + (
+            jnp.swapaxes(e_fold.f_u, -1, -2) @ V_x[..., None])[..., 0]
+        Q_uu = e_fold.l_uu + fuT_Vxx @ e_fold.f_u + reg * eye_u
         g = Q_u + (Q_uu @ u_ff[..., None])[..., 0]
         clamp_lo = (u_ff <= lo_d + eps) & (g > 0)
         clamp_hi = (u_ff >= hi_d - eps) & (g < 0)
         free_new = 1.0 - (clamp_lo | clamp_hi).astype(dtype)
         du_c_new = (jnp.where(clamp_lo, lo_d, 0.0)
                     + jnp.where(clamp_hi, hi_d, 0.0))
-        return u_ff, K, dV, free_new, du_c_new
+        return u_ff, K, dV, free_new, du_c_new, V_x, V_xx
 
     def cond(c):
-        k, changed, *_ = c
-        return (k < sweeps) & changed
+        k, stable, *_ = c
+        return (k < sweeps) & (stable < 1 + settle)
 
     def body(c):
-        k, _, free, du_c, _, _, _ = c
-        u_ff, K, dV, free_new, du_c_new = one_sweep(free, du_c)
+        k, stable, free, du_c, V_x, V_xx, _, _, _ = c
+        u_ff, K, dV, free_new, du_c_new, V_x, V_xx = one_sweep(
+            free, du_c, V_x, V_xx)
         # When the set is unchanged the gains just computed were computed
-        # UNDER that set — the iteration is at a fixed point and we stop.
+        # UNDER that set — without second-order terms that is a fixed point;
+        # with them, keep sweeping until the value trace has settled too.
         changed = jnp.any(free_new != free)
-        return k + 1, changed, free_new, du_c_new, u_ff, K, dV
+        stable = jnp.where(changed, 0, stable + 1)
+        return (k + 1, stable, free_new, du_c_new, V_x, V_xx, u_ff, K, dV)
 
     free0 = jnp.ones((N, n_u), dtype=dtype)
     du0 = jnp.zeros((N, n_u), dtype=dtype)
-    init = (jnp.asarray(0), jnp.asarray(True), free0, du0,
+    V0 = jnp.zeros((N, n_x), dtype)
+    Vxx0 = jnp.zeros((N, n_x, n_x), dtype)
+    if second_order:
+        # Seed the trace with the Gauss-Newton unconstrained values so the
+        # first fold is meaningful.
+        V0, Vxx0 = _suffix_values(
+            exp, reg, jnp.zeros((N, n_x), dtype), engine)
+    init = (jnp.asarray(0), jnp.asarray(0), free0, du0, V0, Vxx0,
             jnp.zeros((N, n_u), dtype),
             jnp.zeros((N, n_u, n_x), dtype),
             jnp.zeros((2,), dtype))
-    _, _, _, _, u_ff, K, dV = jax.lax.while_loop(cond, body, init)
+    *_, u_ff, K, dV = jax.lax.while_loop(cond, body, init)
 
     # The feedforward is clipped to the delta box so the α=1 step is feasible
     # by construction; clamped-component feedback rows are exactly zero from

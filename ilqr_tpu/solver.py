@@ -160,13 +160,6 @@ class IlqrConfig:
                 f"defect_engine must be 'auto'|'pallas'|'xla', "
                 f"got {self.defect_engine!r}"
             )
-        if (self.ddp or self.noise is not None) and self.u_min is not None \
-                and self.backward in ("pscan", "pallas"):
-            raise ValueError(
-                "ddp/noise with control limits requires the sequential "
-                "backward (backward='scan'/'auto'); the frozen-active-set "
-                "parallel limited pass does not carry second-order terms"
-            )
         if (self.u_min is None) != (self.u_max is None):
             raise ValueError("u_min and u_max must be set together")
         if self.u_min is not None:
@@ -247,7 +240,7 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
     if config.u_min is not None:
         lo, hi = config.limit_arrays(U.shape[-1], U.dtype)
         backward = config.backward
-        if backward == "auto" and hess is None and noise is None:
+        if backward == "auto":
             # Same auto rule as the unconstrained pass: the parallel
             # frozen-active-set form (O(sweeps·log N) suffix scans) beats the
             # sequential per-step boxQP from a few hundred steps on TPU; its
@@ -265,7 +258,8 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
 
             return backward_pass_limited_parallel(
                 exp, U, lo, hi, reg, sweeps=config.active_set_sweeps,
-                engine="pallas" if backward == "pallas" else "xla")
+                engine="pallas" if backward == "pallas" else "xla",
+                hess=hess, noise=noise)
         from ilqr_tpu.ops.riccati import backward_pass_limited
 
         return backward_pass_limited(exp, U, lo, hi, reg,
