@@ -295,6 +295,53 @@ def main():
     except Exception as e:  # axon remote-compile may not expose analysis
         log(metric="vpu_utilization_xla_measured", error=str(e)[:200])
 
+    # (c) profiler-measured: capture a hardware trace of the headline
+    # program and read the device-time breakdown from the xplane (VERDICT
+    # r2 item 5 — a counter-backed utilization figure, not a model).  The
+    # program device time independently validates the slope timing; the
+    # Pallas custom-call's own duration gives the in-kernel utilization
+    # (the gap to the program time is the XLA pack/unpack around it).
+    try:
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        from jax.profiler import ProfileData
+
+        tracedir = tempfile.mkdtemp(prefix="ilqr_bench_trace_")
+        prog = jax.jit(bp_fused)
+        float(jnp.sum(prog(exp_head)[0]))
+        with jax.profiler.trace(tracedir):
+            for _ in range(5):
+                float(jnp.sum(prog(exp_head)[0]))
+        pd = ProfileData.from_file(_glob.glob(
+            tracedir + "/**/*.xplane.pb", recursive=True)[0])
+        t_prog = t_kernel = 0.0
+        n_prog = 0
+        for plane in pd.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                for ev in line.events:
+                    if line.name == "XLA Modules" and "reduce_sum" not in ev.name:
+                        t_prog += ev.duration_ns
+                        n_prog += 1
+                    if "_fused_backward_packed" in ev.name:
+                        t_kernel += ev.duration_ns
+        shutil.rmtree(tracedir, ignore_errors=True)
+        if n_prog and t_kernel:
+            t_prog_ms = t_prog / n_prog / 1e6
+            t_kern_ms = t_kernel / n_prog / 1e6
+            util_prof = kernel_flops / (t_kern_ms * 1e-3) / VPU_PEAK_F32
+            log(metric="device_time_profiled",
+                fused_program_ms=round(t_prog_ms, 4),
+                fused_kernel_ms=round(t_kern_ms, 4),
+                vpu_utilization_profiled_kernel=round(util_prof, 4),
+                n_calls=n_prog, N=N_head)
+            current["device_time_fused_kernel_ms@N131072"] = t_kern_ms
+    except Exception as e:
+        log(metric="device_time_profiled", error=str(e)[:200])
+
     # Secondaries at the medium horizon: all four backends (slope-timed).
     N = 4096
     exp = dp_expansion(N)
