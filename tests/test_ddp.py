@@ -99,10 +99,10 @@ def test_ddp_config_validation():
     # ddp composes with the parallel backward (frozen-value sweeps) …
     it.IlqrConfig(ddp=True, backward="pscan")
     it.IlqrConfig(ddp=True, backward="pallas", ddp_sweeps=4)
-    # … but not combined with hard control limits (the frozen-active-set
-    # parallel limited pass carries no second-order terms).
-    with pytest.raises(ValueError, match="sequential"):
-        it.IlqrConfig(ddp=True, backward="pscan", u_min=-1.0, u_max=1.0)
+    # … and, since round 3, also combined with hard control limits (the
+    # frozen-active-set limited pass folds the second-order terms at its
+    # carried value trace — tests/test_limited_parallel.py).
+    it.IlqrConfig(ddp=True, backward="pscan", u_min=-1.0, u_max=1.0)
     with pytest.raises(ValueError, match="ddp_sweeps"):
         it.IlqrConfig(ddp_sweeps=0)
 

@@ -138,11 +138,11 @@ def test_solve_with_noise_converges_and_beats_deterministic_policy():
 
 def test_noise_composes_with_parallel_backward():
     # Allowed since the frozen-value parallel form landed; the noise terms
-    # ride the same fixed-point sweeps as DDP.
+    # ride the same fixed-point sweeps as DDP — including combined with
+    # control limits since round 3 (tests/test_limited_parallel.py).
     it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan")
-    with pytest.raises(ValueError, match="sequential"):
-        it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan",
-                      u_min=-1.0, u_max=1.0)
+    it.IlqrConfig(noise=lambda x, u: jnp.zeros((2, 1)), backward="pscan",
+                  u_min=-1.0, u_max=1.0)
 
 
 def test_parallel_noise_backward_matches_sequential():
