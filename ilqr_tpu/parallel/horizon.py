@@ -67,14 +67,23 @@ def _backward_block(axis_name, n_blocks, engine, elems_blk, term, exp_blk, reg):
     gathered = jax.lax.all_gather(block_total, axis_name)  # (D, …)
 
     # 3. Boundary element: blocks strictly to the right, then the terminal.
-    #    Static loop over D with a masked combine (d is traced).
-    right = term
-    for j in range(n_blocks - 1, -1, -1):
-        blk_j = jax.tree_util.tree_map(lambda a: a[j], gathered)
+    #    lax.scan over the gathered blocks with a masked combine (d is
+    #    traced) — a statically unrolled loop here inflated the per-shard
+    #    HLO ~8x and XLA:CPU compile of the DP-sized executable took ~150 s
+    #    (measured r3); the scan body compiles once.
+    def fold(right, blk_j_and_j):
+        blk_j, j = blk_j_and_j
         cand = combine(blk_j, right)
-        right = jax.tree_util.tree_map(
-            lambda c, r: jnp.where(j > d, c, r), cand, right
-        )
+        return jax.tree_util.tree_map(
+            lambda c, r: jnp.where(j > d, c, r), cand, right), None
+
+    js = jnp.arange(n_blocks - 1, -1, -1)
+    gathered_rev = jax.tree_util.tree_map(lambda a: a[js], gathered)
+    # The masked fold makes the carry shard-varying (the mask uses d); the
+    # replicated terminal must be pcast to the same vma type up front.
+    term_v = jax.tree_util.tree_map(
+        lambda a: jax.lax.pcast(a, (axis_name,), to="varying"), term)
+    right, _ = jax.lax.scan(fold, term_v, (gathered_rev, js))
 
     # 4. Close local suffixes against the boundary.
     bat = jax.vmap(combine, in_axes=(0, None))
