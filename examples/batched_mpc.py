@@ -7,6 +7,7 @@ batch axis across all available devices.  Reports solves/sec throughput.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -19,8 +20,9 @@ from ilqr_tpu.utils.timing import timed, warmup
 
 
 def main(B: int = 512):
+    B = sm(B, 8)
     dt = 0.01
-    N_h = 100
+    N_h = sm(100, 12)
     sys_ = it.make_double_pendulum(
         dt, x_target=[jnp.pi, 0.0, 0.0, 0.0],
         Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
@@ -35,7 +37,7 @@ def main(B: int = 512):
     key = jax.random.PRNGKey(0)
     x0s = 0.3 * jax.random.normal(key, (B, 4))
     U0 = jnp.zeros((N_h, 2))
-    cfg = it.IlqrConfig(maxiter=10, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(10, 3), tol=1e-5)
 
     fn = lambda xs: solve_batched(sys_, xs, U0, cfg, mesh=mesh)
     warmup(fn, x0s)

@@ -8,6 +8,7 @@ acceleration/steering box limits, all constraints handled by
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -19,7 +20,7 @@ from ilqr_tpu.utils.timing import timed, warmup
 
 
 def main():
-    dt, N = 0.05, 120
+    dt, N = 0.05, sm(120, 16)
     goal = jnp.array([8.0, 0.0, 0.0, 0.0])
     sys_ = make_car(
         dt, x_target=goal,
@@ -36,10 +37,10 @@ def main():
     )
     x0 = jnp.zeros(4)
     U0 = jnp.zeros((N, 2))
-    cfg = it.IlqrConfig(maxiter=100, tol=1e-7)
+    cfg = it.IlqrConfig(maxiter=sm(100, 5), tol=1e-7)
     # Gentler escalation converges better here: large mu jumps right after
     # the iterate crosses into a disc stall the inner solve on this problem.
-    al = it.AlConfig(max_outer=15, ctol=1e-3, mu0=50.0, mu_factor=5.0)
+    al = it.AlConfig(max_outer=sm(15, 2), ctol=1e-3, mu0=50.0, mu_factor=5.0)
 
     solve = jax.jit(lambda x, U: it.solve_constrained(sys_, cons, x, U, cfg, al))
     print("Warming up (compiling the constrained solver)…")

@@ -17,6 +17,7 @@ All three are single jitted device programs for the full closed loop.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -35,7 +36,7 @@ def main():
         integrator=integ,
     )
     solver_sys, plant_sys = mk("backward_euler"), mk("midpoint")
-    N_h, n_sim, lim = 200, 400, 6.0
+    N_h, n_sim, lim = sm(200, 12), sm(400, 6), 6.0
     x0, U0 = jnp.zeros(2), jnp.zeros((N_h, 1))
     cons = box_control_constraints(jnp.array([-lim]), jnp.array([lim]))
 
@@ -53,14 +54,14 @@ def main():
 
     bench("AL warm", lambda: run_mpc_constrained(
         solver_sys, plant_sys, cons, x0, U0, n_sim,
-        it.IlqrConfig(maxiter=15, tol=1e-6),
+        it.IlqrConfig(maxiter=sm(15, 3), tol=1e-6),
         AlConfig(max_outer=2, ctol=1e-3, mu0=1.0)))
     bench("barrier", lambda: run_mpc_barrier(
         solver_sys, plant_sys, cons, x0, U0, n_sim,
-        it.IlqrConfig(maxiter=10, tol=1e-6), mu=1e-2, delta=0.05))
+        it.IlqrConfig(maxiter=sm(10, 3), tol=1e-6), mu=1e-2, delta=0.05))
     bench("boxQP", lambda: run_mpc(
         solver_sys, plant_sys, x0, U0, n_sim,
-        it.IlqrConfig(maxiter=10, tol=1e-6, u_min=-lim, u_max=lim)))
+        it.IlqrConfig(maxiter=sm(10, 3), tol=1e-6, u_min=-lim, u_max=lim)))
 
 
 if __name__ == "__main__":

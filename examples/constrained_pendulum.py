@@ -10,6 +10,7 @@ and must pump over multiple swings.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -22,7 +23,7 @@ from ilqr_tpu.viz.plots import plot_trajectory
 
 
 def main():
-    dt, T = 0.01, 4.0
+    dt, T = 0.01, sm(4.0, 0.16)
     N = len(jnp.arange(0, T + dt, dt)) - 1
     goal = jnp.array([jnp.pi, 0.0])
 
@@ -36,8 +37,8 @@ def main():
     )
     x0 = jnp.zeros(2)
     U0 = jnp.zeros((N, 1))
-    cfg = it.IlqrConfig(maxiter=100, tol=1e-7)
-    al = it.AlConfig(max_outer=15, ctol=1e-4)
+    cfg = it.IlqrConfig(maxiter=sm(100, 5), tol=1e-7)
+    al = it.AlConfig(max_outer=sm(15, 2), ctol=1e-4)
 
     solve = jax.jit(lambda x, U: it.solve_constrained(sys_, cons, x, U, cfg, al))
     print("Warming up (compiling the constrained solver)…")

@@ -8,6 +8,7 @@ Q=diag(5,5,.1,.1), R=[50], Q_f=diag(1000,1000,10,10)).
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -21,8 +22,8 @@ from ilqr_tpu.viz.plots import plot_trajectory
 
 def fully_actuated(out):
     dt = 0.01
-    N_h = len(jnp.arange(0, 1.0 + dt, dt)) - 1
-    N_sim = len(jnp.arange(0, 3.0 + dt, dt)) - 1
+    N_h = len(jnp.arange(0, sm(1.0, 0.12) + dt, dt)) - 1
+    N_sim = len(jnp.arange(0, sm(3.0, 0.06) + dt, dt)) - 1
     mk = lambda integ: it.make_double_pendulum(
         dt, x_target=[jnp.pi, 0.0, 0.0, 0.0],
         Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
@@ -31,7 +32,7 @@ def fully_actuated(out):
         d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator=integ,
     )
     solver_sys = plant_sys = mk("rk4")
-    cfg = it.IlqrConfig(maxiter=50, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(50, 3), tol=1e-5)
     x0 = jnp.array([0.0, 0.0, -10.0, 10.0])
 
     mpc = jax.jit(lambda x, U: run_mpc(solver_sys, plant_sys, x, U, N_sim, cfg))
@@ -46,8 +47,8 @@ def fully_actuated(out):
 
 def underactuated(out):
     dt = 0.01
-    N_h = len(jnp.arange(0, 2.0 + dt, dt)) - 1
-    N_sim = len(jnp.arange(0, 5.0 + dt, dt)) - 1
+    N_h = len(jnp.arange(0, sm(2.0, 0.12) + dt, dt)) - 1
+    N_sim = len(jnp.arange(0, sm(5.0, 0.06) + dt, dt)) - 1
     mk = lambda integ: it.make_double_pendulum(
         dt, x_target=[jnp.pi, 0.0, 0.0, 0.0],
         Q=jnp.diag(jnp.array([5.0, 5.0, 0.1, 0.1])),
@@ -57,7 +58,7 @@ def underactuated(out):
         underactuated=True, integrator=integ,
     )
     solver_sys, plant_sys = mk("rk4"), mk("backward_euler")
-    cfg = it.IlqrConfig(maxiter=50, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(50, 3), tol=1e-5)
 
     mpc = jax.jit(lambda x, U: run_mpc(solver_sys, plant_sys, x, U, N_sim, cfg))
     warmup(mpc, jnp.zeros(4), jnp.zeros((N_h, 1)))

@@ -7,6 +7,7 @@ euler, tol=1e-6, maxiter=200), plus mp4 export of the solution.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -19,7 +20,7 @@ from ilqr_tpu.viz.plots import plot_trajectory
 
 
 def main(save_video: bool = True):
-    dt, T = 0.01, 5.0
+    dt, T = 0.01, sm(5.0, 0.2)
     N = len(jnp.arange(0, T + dt, dt)) - 1
 
     sys_ = it.make_double_pendulum(
@@ -31,7 +32,7 @@ def main(save_video: bool = True):
     )
     x0 = jnp.zeros(4)
     U0 = jnp.zeros((N, 2))
-    cfg = it.IlqrConfig(maxiter=200, tol=1e-6)
+    cfg = it.IlqrConfig(maxiter=sm(200, 5), tol=1e-6)
 
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     print("Warming up…")

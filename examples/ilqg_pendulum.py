@@ -8,6 +8,7 @@ reference (`iLQR_class.py`) is deterministic only.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -24,11 +25,13 @@ def main(sigma: float = 1.5):
     B = jnp.array([[0.0], [1.0]])
     noise_fn = control_multiplicative_noise(sigma, B)
     x0 = jnp.zeros(2)
-    U0 = jnp.zeros((200, 1))
+    U0 = jnp.zeros((sm(200, 16), 1))
 
-    sol_det = it.solve(sys_, x0, U0, it.IlqrConfig(maxiter=80, tol=1e-7))
+    sol_det = it.solve(sys_, x0, U0,
+                       it.IlqrConfig(maxiter=sm(80, 5), tol=1e-7))
     sol_sto = it.solve(sys_, x0, U0,
-                       it.IlqrConfig(maxiter=80, tol=1e-7, noise=noise_fn))
+                       it.IlqrConfig(maxiter=sm(80, 5), tol=1e-7,
+                                     noise=noise_fn))
     print(f"deterministic nominal cost: {float(sol_det.cost):.3f} "
           f"(iters {int(sol_det.iterations)})")
     print(f"iLQG (σ={sigma}) nominal cost: {float(sol_sto.cost):.3f} "
@@ -37,7 +40,8 @@ def main(sigma: float = 1.5):
     key = jax.random.PRNGKey(0)
     for name, sol in [("deterministic", sol_det), ("iLQG", sol_sto)]:
         mean, std = simulate_closed_loop(
-            sys_, noise_fn, sol.X, sol.U, sol.K, key, n_rollouts=256)
+            sys_, noise_fn, sol.X, sol.U, sol.K, key,
+            n_rollouts=sm(256, 8))
         print(f"{name:>13} policy under the noise: "
               f"E[cost] = {float(mean):.2f} ± {float(std):.2f}")
 

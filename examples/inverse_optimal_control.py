@@ -13,6 +13,7 @@ no differentiable surface.  Run: python examples/inverse_optimal_control.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import time
 
 import jax
@@ -36,8 +37,8 @@ def make_system(log_w):
 
 
 def main():
-    N = 60
-    cfg = it.IlqrConfig(maxiter=150, tol=1e-9)
+    N = sm(60, 10)
+    cfg = it.IlqrConfig(maxiter=sm(150, 10), tol=1e-9)
     U0 = jnp.zeros((N, 1))
     x0s = jnp.stack([
         jnp.array([0.2, 0.0]), jnp.array([0.6, 0.0]),
@@ -62,7 +63,7 @@ def main():
     lr = 1.0
     t0 = time.perf_counter()
     val, g = grad_fn(log_w)
-    for k in range(60):
+    for k in range(sm(60, 2)):
         # Backtracked gradient descent — the landscape is stiff in the
         # small-R direction, so a fixed step diverges.
         cand = log_w - lr * g

@@ -9,6 +9,7 @@ the (embarrassingly parallel) linearization and the exact rollouts.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -64,7 +65,7 @@ def main(N: int = 100_000):
     # A few full iLQR iterations end-to-end.  Every stage parallel-in-time:
     # defect initial rollout, fused Pallas backward, Pallas-affine defect
     # line search (exact sequential fallback guards uncertified candidates).
-    cfg = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto",
+    cfg = it.IlqrConfig(maxiter=sm(10, 2), tol=1e-6, backward="auto",
                         adaptive_reg=True, init_rollout="defect",
                         rollout="defect")
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
@@ -73,7 +74,7 @@ def main(N: int = 100_000):
     print(f"10-iteration solve (all stages parallel-in-time): {t_solve:.2f}s  "
           f"cost={float(sol.cost):.4f} iters={int(sol.iterations)}")
 
-    cfg_seq = it.IlqrConfig(maxiter=10, tol=1e-6, backward="auto",
+    cfg_seq = it.IlqrConfig(maxiter=sm(10, 2), tol=1e-6, backward="auto",
                             adaptive_reg=True, init_rollout="defect")
     solve_seq = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg_seq))
     warmup(solve_seq, x0, U0)
@@ -87,7 +88,7 @@ def main(N: int = 100_000):
     # way to a converged trajectory by a wide margin (ilqr_tpu.shooting).
     from ilqr_tpu.shooting import MsConfig, solve_ms
 
-    cfg_ms = it.IlqrConfig(maxiter=30, tol=1e-6, backward="pallas",
+    cfg_ms = it.IlqrConfig(maxiter=sm(30, 2), tol=1e-6, backward="pallas",
                            init_rollout="defect")
     ms = jax.jit(lambda x, U: solve_ms(sys_, x, U, config=cfg_ms,
                                        ms=MsConfig(update_engine="auto")))
@@ -99,5 +100,5 @@ def main(N: int = 100_000):
 
 
 if __name__ == "__main__":
-    main(int(os.environ.get("N_HORIZON", 100_000)))
+    main(int(os.environ.get("N_HORIZON", sm(100_000, 512))))
     os._exit(0)

@@ -10,6 +10,7 @@ Run: python examples/mppi_pendulum.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import time
 
 import jax
@@ -21,7 +22,7 @@ from ilqr_tpu.mppi import MppiConfig, run_mpc_mppi, solve_mppi
 
 
 def main():
-    dt, N_h, n_sim = 0.05, 30, 120
+    dt, N_h, n_sim = 0.05, sm(30, 8), sm(120, 6)
     u_lim = 8.0
     sys_ = it.make_pendulum(
         dt, [jnp.pi, 0.0],
@@ -41,23 +42,27 @@ def main():
               f"{(time.perf_counter() - t0) * 1e3:7.1f} ms warm")
         return out
 
-    mppi_cfg = MppiConfig(samples=512, iters=4, temperature=0.2, sigma=1.0,
+    mppi_cfg = MppiConfig(samples=sm(512, 16), iters=sm(4, 2),
+                          temperature=0.2, sigma=1.0,
                           noise_beta=0.8, u_min=-u_lim, u_max=u_lim)
     timed("MPPI MPC (512 samples x 4 iters)",
           jax.jit(lambda k: run_mpc_mppi(sys_, plant, x0, U0, n_sim, k, mppi_cfg)),
           key)
 
-    ilqr_cfg = it.IlqrConfig(maxiter=8, tol=1e-6, u_min=-u_lim, u_max=u_lim)
+    ilqr_cfg = it.IlqrConfig(maxiter=sm(8, 3), tol=1e-6,
+                             u_min=-u_lim, u_max=u_lim)
     timed("iLQR MPC (boxQP limits)",
           jax.jit(lambda x: run_mpc(sys_, plant, x, U0, n_sim, ilqr_cfg)), x0)
 
     # Global-then-local: MPPI explores, iLQR polishes.
-    N_ol = 80
-    ol_cfg = it.IlqrConfig(maxiter=100, tol=1e-8, u_min=-u_lim, u_max=u_lim)
+    N_ol = sm(80, 10)
+    ol_cfg = it.IlqrConfig(maxiter=sm(100, 5), tol=1e-8,
+                           u_min=-u_lim, u_max=u_lim)
     warm = timed("MPPI open-loop explore",
                  jax.jit(lambda k: solve_mppi(
                      sys_, x0, jnp.zeros((N_ol, 1)), k,
-                     MppiConfig(samples=1024, iters=60, temperature=0.1,
+                     MppiConfig(samples=sm(1024, 16), iters=sm(60, 2),
+                                temperature=0.1,
                                 sigma=1.2, noise_beta=0.8,
                                 u_min=-u_lim, u_max=u_lim))),
                  key)

@@ -22,6 +22,7 @@ Run: python examples/neural_sysid.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -51,7 +52,7 @@ def main():
 
     # --- Excite the plant over the swing-up's state range: strong random
     # sinusoidal torques from large-angle/velocity starts. ---
-    B, N = 32, 60
+    B, N = sm(32, 4), sm(60, 10)
     k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
     amps = jax.random.uniform(k1, (B, 1, 1), minval=1.0, maxval=6.0)
     freqs = jax.random.uniform(k2, (B, 1, 1), minval=0.5, maxval=3.0)
@@ -68,7 +69,7 @@ def main():
     print(f"10-step prediction MSE before fit: "
           f"{prediction_loss(net, X_data, U_data, horizon=10):.2e}")
     t0 = time.perf_counter()
-    net, losses = fit_dynamics(net, X_data, U_data, steps=1000,
+    net, losses = fit_dynamics(net, X_data, U_data, steps=sm(1000, 20),
                                learning_rate=3e-3, horizon=10)
     print(f"10-step prediction MSE after fit:  {losses[-1]:.2e}  "
           f"({time.perf_counter() - t0:.1f}s, 1000 adam steps on-device)")
@@ -76,8 +77,8 @@ def main():
     # --- Closed-loop MPC on the true plant with each planning model. ---
     from ilqr_tpu.mpc import run_mpc
 
-    mcfg = it.IlqrConfig(maxiter=8, tol=1e-6)
-    x0, U0, n_sim = jnp.zeros(2), jnp.zeros((40, 1)), 80
+    mcfg = it.IlqrConfig(maxiter=sm(8, 3), tol=1e-6)
+    x0, U0, n_sim = jnp.zeros(2), jnp.zeros((sm(40, 8), 1)), sm(80, 6)
     for name, model in [("nominal (wrong)", nominal),
                         ("learned residual", net),
                         ("true model (oracle)", plant)]:

@@ -17,6 +17,7 @@ parallel-Riccati element (`ops/parallel_riccati.py::combine`) scanned forward
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -62,5 +63,5 @@ def main(N: int = 100_000):
 
 
 if __name__ == "__main__":
-    main(int(os.environ.get("N_HORIZON", 100_000)))
+    main(int(os.environ.get("N_HORIZON", sm(100_000, 512))))
     os._exit(0)

@@ -8,6 +8,7 @@ entire closed-loop run is one device program; per-step time is total/N_sim.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -22,8 +23,8 @@ from ilqr_tpu.viz.plots import plot_trajectory
 
 def main():
     dt = 0.01
-    N_h = len(jnp.arange(0, 2.0 + dt, dt)) - 1   # horizon
-    N_sim = len(jnp.arange(0, 4.0 + dt, dt)) - 1  # simulation steps
+    N_h = len(jnp.arange(0, sm(2.0, 0.12) + dt, dt)) - 1   # horizon
+    N_sim = len(jnp.arange(0, sm(4.0, 0.06) + dt, dt)) - 1  # simulation steps
 
     mk = lambda integ: it.make_pendulum(
         dt, x_target=[jnp.pi, 0.0], Q=jnp.diag(jnp.array([10.0, 1.0])),
@@ -31,7 +32,7 @@ def main():
         integrator=integ,
     )
     solver_sys, plant_sys = mk("backward_euler"), mk("midpoint")
-    cfg = it.IlqrConfig(maxiter=10, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(10, 3), tol=1e-5)
 
     mpc = jax.jit(lambda x0, U0: run_mpc(solver_sys, plant_sys, x0, U0, N_sim, cfg))
     print("Warming up…")

@@ -7,6 +7,7 @@ the reference's measurement protocol (JIT warm-up, then timed solve).
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -19,7 +20,7 @@ from ilqr_tpu.viz.plots import plot_convergence, plot_trajectory
 
 
 def main():
-    dt, T = 0.01, 4.0
+    dt, T = 0.01, sm(4.0, 0.2)
     N = len(jnp.arange(0, T + dt, dt)) - 1
 
     sys_ = it.make_pendulum(
@@ -29,7 +30,7 @@ def main():
     )
     x0 = jnp.array([1.0, 0.0])
     U0 = jnp.zeros((N, 1))
-    cfg = it.IlqrConfig(maxiter=100, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(100, 5), tol=1e-5)
 
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     print("Warming up (compiling the full solver)…")

@@ -14,6 +14,7 @@ Run: python examples/quadrotor3d_flight.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import time
 
 import jax
@@ -29,7 +30,7 @@ from ilqr_tpu.utils.timing import warmup
 
 
 def main():
-    dt, T = 0.02, 3.0
+    dt, T = 0.02, sm(3.0, 0.3)
     N = int(T / dt)
     target = [2.0, 1.0, 1.5] + [0.0] * 9  # fly to (2, 1, 1.5), settle level
     Q, R, Q_f = default_weights()
@@ -41,7 +42,8 @@ def main():
     U0 = jnp.tile(hover_controls(sys_.params), (N, 1))
 
     # --- Open loop, thrust-limited. ---
-    cfg = it.IlqrConfig(maxiter=200, tol=1e-6, u_min=0.0, u_max=f_max,
+    cfg = it.IlqrConfig(maxiter=sm(200, 5), tol=1e-6, u_min=0.0,
+                        u_max=f_max,
                         adaptive_reg=True)
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     warmup(solve, x0, U0)
@@ -59,8 +61,8 @@ def main():
     from ilqr_tpu.mpc import run_mpc
 
     plant = make_quadrotor3d(dt, target, Q, R, Q_f, integrator="euler")
-    H, n_sim = 50, 150
-    cfg_mpc = it.IlqrConfig(maxiter=5, tol=1e-5)
+    H, n_sim = sm(50, 10), sm(150, 5)
+    cfg_mpc = it.IlqrConfig(maxiter=sm(5, 2), tol=1e-5)
     mpc = jax.jit(lambda x: run_mpc(
         sys_, plant, x, jnp.tile(hover_controls(sys_.params), (H, 1)),
         n_sim, cfg_mpc))

@@ -14,6 +14,7 @@ Run: python examples/quadrotor_dash.py
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 import time
 
@@ -27,7 +28,7 @@ from ilqr_tpu.utils.timing import warmup
 
 
 def main():
-    dt, T = 0.01, 3.0
+    dt, T = 0.01, sm(3.0, 0.15)
     N = int(T / dt)
     target = [3.0, 1.0, 0.0, 0.0, 0.0, 0.0]
     Q = jnp.diag(jnp.array([1.0, 1.0, 0.5, 0.1, 0.1, 0.1]))
@@ -40,7 +41,8 @@ def main():
     x0 = jnp.zeros(6)
     U0 = jnp.tile(hover_controls(sys_.params), (N, 1))
 
-    cfg = it.IlqrConfig(maxiter=200, tol=1e-6, u_min=0.0, u_max=f_max,
+    cfg = it.IlqrConfig(maxiter=sm(200, 5), tol=1e-6, u_min=0.0,
+                        u_max=f_max,
                         adaptive_reg=True)
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     warmup(solve, x0, U0)

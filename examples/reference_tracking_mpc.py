@@ -10,6 +10,7 @@ plant clock advances — the whole closed loop stays one jitted lax.scan.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -22,7 +23,7 @@ from ilqr_tpu.utils.timing import timed
 
 def main():
     dt = 0.01
-    N_sim, horizon = 600, 50
+    N_sim, horizon = sm(600, 6), sm(50, 10)
     base = it.make_pendulum(dt, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
                             Q_f=jnp.zeros((2, 2)), d=0.05, integrator="rk4")
 

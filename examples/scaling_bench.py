@@ -12,6 +12,7 @@ hardware-meaningful.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -68,7 +69,7 @@ def main(N: int = 10_240):
     # + vmapped local work; communication independent of N).
     from ilqr_tpu.parallel.horizon_solve import solve_ms_horizon_sharded
 
-    cfg = it.IlqrConfig(maxiter=30, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(30, 2), tol=1e-5)
     d = 2
     base = None
     while d <= len(devs):
@@ -86,5 +87,5 @@ def main(N: int = 10_240):
 
 
 if __name__ == "__main__":
-    main(int(os.environ.get("N_HORIZON", 10_240)))
+    main(int(os.environ.get("N_HORIZON", sm(10_240, 256))))
     os._exit(0)

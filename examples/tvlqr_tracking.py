@@ -10,6 +10,7 @@ at zero per-step optimization cost.
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -19,7 +20,7 @@ import ilqr_tpu as it
 
 
 def main():
-    dt, N = 0.01, 400
+    dt, N = 0.01, sm(400, 16)
     sys_ = it.make_pendulum(dt, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
                             Q_f=100.0 * jnp.eye(2), d=0.1, integrator="rk4")
     plant = it.make_pendulum(dt, [jnp.pi, 0.0], Q=jnp.eye(2), R=jnp.eye(1),
@@ -27,7 +28,7 @@ def main():
                              integrator="midpoint")
     x0 = jnp.zeros(2)
     sol = it.solve(sys_, x0, jnp.zeros((N, 1)),
-                   it.IlqrConfig(maxiter=200, tol=1e-6))
+                   it.IlqrConfig(maxiter=sm(200, 5), tol=1e-6))
     print(f"Swing-up solved: cost={float(sol.cost):.4f} "
           f"terminal θ={float(sol.X[-1, 0]):.4f} (π={jnp.pi:.4f})")
 

@@ -7,6 +7,7 @@ Q_f=diag(1000,1000,100,100), backward_euler, maxiter=700).
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+from _smoke import sm  # noqa: E402
 import os
 
 import jax
@@ -19,7 +20,7 @@ from ilqr_tpu.viz.plots import plot_trajectory
 
 
 def main(save_video: bool = True):
-    dt, T = 0.01, 8.0
+    dt, T = 0.01, sm(8.0, 0.2)
     N = len(jnp.arange(0, T + dt, dt)) - 1
 
     sys_ = it.make_double_pendulum(
@@ -32,7 +33,7 @@ def main(save_video: bool = True):
     )
     x0 = jnp.zeros(4)
     U0 = jnp.zeros((N, 1))
-    cfg = it.IlqrConfig(maxiter=700, tol=1e-5)
+    cfg = it.IlqrConfig(maxiter=sm(700, 5), tol=1e-5)
 
     solve = jax.jit(lambda x, U: it.solve(sys_, x, U, cfg))
     print("Warming up…")

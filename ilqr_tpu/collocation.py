@@ -8,11 +8,12 @@ overlays the trajectories against the iLQR solution.  That is a different
 TRANSCRIPTION FAMILY from shooting: iLQR (and the L-BFGS direct-shooting
 oracle in tests/test_cross_validation.py) eliminate the states through the
 rollout; collocation keeps them and enforces dynamics as constraints, so
-agreement rules out errors shared by all shooting-type methods (VERDICT r2
-"What's missing" item 1).
+agreement rules out errors shared by all shooting-type methods.
 
-This module is that oracle, CasADi-free: a dense Newton-KKT SQP on the
-stacked variables z = (X₁…X_N, U₀…U_{N−1}) with
+This module is that oracle, CasADi-free, built the way a sparse NLP solver
+actually works (IPOPT solves the collocation KKT system with a sparse
+indefinite factorization, MUMPS/MA57 — not a dense solve, and not a Riccati
+recursion): a damped Newton-KKT SQP on z = (X₁…X_N, U₀…U_{N−1}) with
 
     min  Σₖ l(xₖ, uₖ) + l_f(x_N)
     s.t. cₖ(z) = 0,   k = 0…N−1
@@ -26,12 +27,27 @@ and two defect forms:
     (ZOH controls, matching the framework's 'trapezoidal' integrator, for
     which the two forms coincide).
 
-Solution method (independent of everything the solver stack uses): damped
-Newton on the KKT system with a dense `jnp.linalg.solve` (NOT the Riccati
-recursion, NOT smallmat closed forms, NOT any Pallas kernel), with an
-ℓ₁-merit backtracking line search.  All derivatives by autodiff on the
-stacked z.  O((N·(n_x+n_u))³) per iteration — an oracle for modest N, not a
-production path (that is what `solve`/`solve_ms` are for).
+Independence from the solver stack (the point of an oracle): derivatives
+are evaluated by JAX autodiff as vmapped PER-STEP blocks (exact Lagrangian
+Hessian, including constraint curvature), but the Newton algebra runs on
+the HOST in float64 — scipy sparse LU (SuperLU) on the block-tridiagonal
+KKT matrix, numpy assembly, Python line-search loop.  No Riccati recursion,
+no smallmat closed forms, no Pallas kernels, no XLA linear solves, no
+lax.while_loop.  The structured assembly is also what makes the oracle
+scale: the dense-z ``jax.hessian`` of the previous revision compiled an
+O((N·n)²)-sized XLA program (which crashed XLA:CPU codegen for the DP
+problem under pytest-xdist workers and capped usable horizons near N≈120);
+the per-step form compiles a few tiny programs and handles the full
+reference DP swing-up horizon (N=500, `run_double_pendulum_open_loop.py:
+16-70`) in seconds.
+
+Precision: the oracle always computes in float64 (`jax.enable_x64` scoped
+inside, host algebra in numpy f64) regardless of the caller's JAX mode —
+an oracle exists to be sharper than the system under test.  The returned
+arrays are float64.  The earlier f32-mode KKT floor (~0.4 on the stiff
+Q_f=1000 DP cascade) is therefore moot: f64 is not a degraded fallback but
+the documented contract, matching the reference whose CasADi/IPOPT check
+is genuine double precision while the JAX side runs f32.
 """
 from __future__ import annotations
 
@@ -40,6 +56,9 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg
 
 from ilqr_tpu.models.base import System, f32_matmuls
 from ilqr_tpu.ops.integrators import step
@@ -56,11 +75,146 @@ class CollocationSolution:
     iterations: Any
 
 
-def _unpack(z, N, n_x, n_u, x0):
-    X_tail = z[: N * n_x].reshape(N, n_x)
-    U = z[N * n_x:].reshape(N, n_u)
-    X = jnp.concatenate([x0[None], X_tail], axis=0)
-    return X, U
+def _make_eval_fns(system: System, defect: str, N: int, n_x: int, n_u: int):
+    """Jitted per-step derivative/merit evaluators (built under x64)."""
+    dt = system.dt
+    p = system.params
+
+    def stage(x, u):
+        return system.stage_cost(p, x, u)
+
+    def con(x, u, xn):
+        # c_k(x_k, u_k, x_{k+1}) for one step.
+        if defect == "step":
+            return step(system, x, u) - xn
+        f = system.f_cont
+        return x + 0.5 * dt * (f(p, x, u) + f(p, xn, u)) - xn
+
+    def con_packed(w):
+        x, u, xn = w[:n_x], w[n_x:n_x + n_u], w[n_x + n_u:]
+        return con(x, u, xn)
+
+    def lag_w(w, lam):
+        return con_packed(w) @ lam
+
+    @jax.jit
+    def derivs(X, U, lam):
+        """All KKT blocks at (X, U, lam) — vmapped over the horizon."""
+        Xk, Xn = X[:-1], X[1:]
+        lx = jax.vmap(jax.grad(stage, argnums=0))(Xk, U)
+        lu = jax.vmap(jax.grad(stage, argnums=1))(Xk, U)
+        lxx = jax.vmap(jax.hessian(stage, argnums=0))(Xk, U)
+        luu = jax.vmap(jax.hessian(stage, argnums=1))(Xk, U)
+        lux = jax.vmap(jax.jacfwd(jax.grad(stage, argnums=1), argnums=0))(
+            Xk, U)
+        lfx = jax.grad(lambda x: system.terminal_cost(p, x))(X[-1])
+        lfxx = jax.hessian(lambda x: system.terminal_cost(p, x))(X[-1])
+        c = jax.vmap(con)(Xk, U, Xn)
+        A = jax.vmap(jax.jacfwd(con, argnums=0))(Xk, U, Xn)
+        B = jax.vmap(jax.jacfwd(con, argnums=1))(Xk, U, Xn)
+        C = jax.vmap(jax.jacfwd(con, argnums=2))(Xk, U, Xn)
+        W = jax.vmap(jax.hessian(lag_w, argnums=0))(
+            jnp.concatenate([Xk, U, Xn], axis=1), lam)
+        return dict(lx=lx, lu=lu, lxx=lxx, luu=luu, lux=lux, lfx=lfx,
+                    lfxx=lfxx, c=c, A=A, B=B, C=C, W=W)
+
+    @jax.jit
+    def obj_con(X, U):
+        cost = jnp.sum(jax.vmap(stage)(X[:-1], U)) + system.terminal_cost(
+            p, X[-1])
+        c = jax.vmap(con)(X[:-1], U, X[1:])
+        return cost, c
+
+    @jax.jit
+    def merit_candidates(X, U, dX, dU, alphas, rho):
+        def one(a):
+            cost, c = obj_con(X + a * dX, U + a * dU)
+            return cost + rho * jnp.sum(jnp.abs(c))
+
+        return jax.vmap(one)(alphas)
+
+    return derivs, obj_con, merit_candidates
+
+
+def _assemble_kkt(d, N, n_x, n_u, mu):
+    """Block-tridiagonal KKT matrix + residual in interleaved ordering.
+
+    Variable block k (k = 0…N−1): [u_k (n_u), λ_k (n_x), x_{k+1} (n_x)];
+    x_0 is data, not a variable.  Constraint c_k couples (x_k, u_k, x_{k+1})
+    and the stage cost couples (x_k, u_k), so every nonzero lives within two
+    adjacent blocks — bandwidth O(n_x+n_u), independent of N.
+    """
+    m = n_u + 2 * n_x
+    n = N * m
+    iu = np.arange(N) * m                     # u_k start
+    il = iu + n_u                             # λ_k start
+    ix = il + n_x                             # x_{k+1} start
+    # Column index of x_k as a variable: ix[k-1] for k ≥ 1; x_0 is fixed.
+    ixk = np.concatenate([[-1], ix[:-1]])     # -1 marks "not a variable"
+
+    rows, cols, vals = [], [], []
+
+    def put(r0, c0, block, mask_r=None, mask_c=None):
+        """Scatter dense (N, a, b) blocks at per-step offsets r0, c0 (N,)."""
+        Nb, a, b = block.shape
+        r = r0[:, None, None] + np.arange(a)[None, :, None]
+        cc = c0[:, None, None] + np.arange(b)[None, None, :]
+        keep = (r0 >= 0)[:, None, None] & (c0 >= 0)[:, None, None]
+        keep = np.broadcast_to(keep, block.shape)
+        rows.append(np.broadcast_to(r, block.shape)[keep])
+        cols.append(np.broadcast_to(cc, block.shape)[keep])
+        vals.append(block[keep])
+
+    def put_sym(r0, c0, block):
+        put(r0, c0, block)
+        put(c0, r0, np.swapaxes(block, 1, 2))
+
+    # Hessian of the Lagrangian (exact): stage-cost blocks + constraint
+    # curvature W_k over (x_k, u_k, x_{k+1}) + terminal l_f_xx.
+    put(iu, iu, d["luu"])
+    put(ixk, ixk, d["lxx"])
+    put_sym(iu, ixk, d["lux"])
+    lfxx = d["lfxx"][None]
+    put(ix[-1:], ix[-1:], lfxx)
+    W = d["W"]
+    sl_x, sl_u, sl_n = slice(0, n_x), slice(n_x, n_x + n_u), slice(
+        n_x + n_u, None)
+    put(ixk, ixk, W[:, sl_x, sl_x])
+    put(iu, iu, W[:, sl_u, sl_u])
+    put(ix, ix, W[:, sl_n, sl_n])
+    put_sym(iu, ixk, W[:, sl_u, sl_x])
+    put_sym(ix, ixk, W[:, sl_n, sl_x])
+    put_sym(ix, iu, W[:, sl_n, sl_u])
+    # Levenberg damping on the primal diagonal only.
+    prim = np.concatenate([(iu[:, None] + np.arange(n_u)).ravel(),
+                           (ix[:, None] + np.arange(n_x)).ravel()])
+    rows.append(prim)
+    cols.append(prim)
+    vals.append(np.full(prim.shape, mu))
+    # Constraint Jacobian rows (λ_k) and symmetric transposes.
+    put_sym(il, ixk, d["A"])
+    put_sym(il, iu, d["B"])
+    put_sym(il, ix, d["C"])
+
+    KKT = scipy.sparse.csc_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))), shape=(n, n))
+
+    # Residual (negated RHS): stationarity wrt u_k / x_k, and c_k.
+    lam = d["lam"]
+    r_u = d["lu"] + np.einsum("kiu,ki->ku", d["B"], lam)
+    r_x = np.empty((N, n_x))
+    r_x[:-1] = (d["lx"][1:]
+                + np.einsum("kij,ki->kj", d["A"][1:], lam[1:])
+                + np.einsum("kij,ki->kj", d["C"][:-1], lam[:-1]))
+    r_x[-1] = d["lfx"] + d["C"][-1].T @ lam[-1]
+    rhs = np.zeros(n)
+    rhs[(iu[:, None] + np.arange(n_u)).ravel()] = -r_u.ravel()
+    rhs[(ix[:, None] + np.arange(n_x)).ravel()] = -r_x.ravel()
+    rhs[(il[:, None] + np.arange(n_x)).ravel()] = -d["c"].ravel()
+    kkt_inf = max(np.max(np.abs(r_u)), np.max(np.abs(r_x)),
+                  np.max(np.abs(d["c"])))
+    return KKT, rhs, kkt_inf, (iu, il, ix)
 
 
 @f32_matmuls
@@ -69,12 +223,12 @@ def solve_collocation(
     x0: jnp.ndarray,
     U_init: jnp.ndarray,
     defect: str = "step",
-    maxiter: int = 60,
+    maxiter: int = 150,
     tol: float = 1e-6,
     damping: float = 1e-6,
     X_init: jnp.ndarray | None = None,
 ) -> CollocationSolution:
-    """Solve the OCP as a simultaneous NLP by dense damped Newton-KKT.
+    """Solve the OCP as a simultaneous NLP (sparse damped Newton-KKT, f64).
 
     ``X_init=None`` seeds the states with the rollout of ``U_init`` (a
     feasible start); pass e.g. a straight-line interpolation to start
@@ -84,92 +238,74 @@ def solve_collocation(
         raise ValueError(f"defect must be 'step'|'trapezoidal', got {defect}")
     N, n_u = U_init.shape
     n_x = x0.shape[0]
-    dt = system.dt
 
-    def objective(z):
-        X, U = _unpack(z, N, n_x, n_u, x0)
-        stage = jax.vmap(lambda x, u: system.stage_cost(system.params, x, u))(
-            X[:-1], U)
-        return jnp.sum(stage) + system.terminal_cost(system.params, X[-1])
-
-    def constraints(z):
-        X, U = _unpack(z, N, n_x, n_u, x0)
-        if defect == "step":
-            pred = jax.vmap(lambda x, u: step(system, x, u))(X[:-1], U)
+    with jax.enable_x64(True):
+        derivs, obj_con, merit_candidates = _make_eval_fns(
+            system, defect, N, n_x, n_u)
+        x0_ = jnp.asarray(np.asarray(x0), dtype=jnp.float64)
+        U = jnp.asarray(np.asarray(U_init), dtype=jnp.float64)
+        if X_init is None:
+            X, _ = rollout(system, x0_, U)
+            X = jnp.asarray(np.asarray(X), dtype=jnp.float64)
         else:
-            f = jax.vmap(lambda x, u: system.f_cont(system.params, x, u))
-            pred = X[:-1] + 0.5 * dt * (f(X[:-1], U) + f(X[1:], U))
-        return (pred - X[1:]).reshape(-1)
+            X = jnp.concatenate(
+                [x0_[None],
+                 jnp.asarray(np.asarray(X_init), jnp.float64)[1:]])
+        lam = jnp.zeros((N, n_x), dtype=jnp.float64)
+        alphas = jnp.asarray([0.5 ** i for i in range(16)], jnp.float64)
 
-    n_z = N * (n_x + n_u)
-    n_c = N * n_x
+        mu = float(damping)
+        iters = 0
+        kkt_inf = np.inf
+        for _ in range(maxiter):
+            d = {k: np.asarray(v) for k, v in derivs(X, U, lam).items()}
+            d["lam"] = np.asarray(lam)
+            KKT, rhs, kkt_inf, (iu, il, ix) = _assemble_kkt(
+                d, N, n_x, n_u, mu)
+            if kkt_inf < tol:
+                break
+            iters += 1
+            sol = scipy.sparse.linalg.spsolve(KKT, rhs)
+            if not np.all(np.isfinite(sol)):
+                mu = max(mu, damping) * 10.0
+                if mu > 1e8:
+                    break
+                continue
+            dU = sol[(iu[:, None] + np.arange(n_u)).ravel()].reshape(N, n_u)
+            dXt = sol[(ix[:, None] + np.arange(n_x)).ravel()].reshape(N, n_x)
+            dlam = sol[(il[:, None] + np.arange(n_x)).ravel()].reshape(
+                N, n_x)
+            dX = jnp.concatenate(
+                [jnp.zeros((1, n_x), jnp.float64), jnp.asarray(dXt)])
+            dU_j = jnp.asarray(dU)
 
-    if X_init is None:
-        X_init, _ = rollout(system, x0, U_init)
-    z0 = jnp.concatenate(
-        [X_init[1:].reshape(-1), U_init.reshape(-1)]).astype(U_init.dtype)
+            # ℓ1-merit backtracking (first improving α); the exact-penalty
+            # weight must dominate the multipliers.
+            rho = max(10.0, 2.0 * float(np.max(np.abs(
+                np.asarray(lam) + dlam))))
+            cand = np.asarray(merit_candidates(
+                X, U, dX, dU_j, alphas, jnp.float64(rho)))
+            cost0, c0 = obj_con(X, U)
+            m0 = float(cost0) + rho * float(np.sum(np.abs(np.asarray(c0))))
+            ok = np.isfinite(cand) & (cand < m0)
+            if ok.any():
+                a = float(alphas[int(np.argmax(ok))])
+                X = X + a * dX
+                U = U + a * dU_j
+                lam = lam + a * jnp.asarray(dlam)
+                # Adaptive floor: strong Levenberg damping globalizes the
+                # stiff swing-up cascades far from the solution, but a fixed
+                # floor stalls the Newton tail — let the floor track the KKT
+                # residual so the final iterations are (near-)undamped.
+                mu = max(mu * 0.3, min(damping, kkt_inf))
+            else:
+                mu = max(mu, damping) * 10.0
+                if mu > 1e8:
+                    break
 
-    grad_f = jax.grad(objective)
-    hess_l = jax.hessian(
-        lambda z, lam: objective(z) + constraints(z) @ lam)
-    jac_c = jax.jacfwd(constraints)
-
-    alphas = jnp.asarray([0.5 ** i for i in range(14)], dtype=z0.dtype)
-
-    def merit(z, rho):
-        return objective(z) + rho * jnp.sum(jnp.abs(constraints(z)))
-
-    def body(carry):
-        z, lam, mu, k, done = carry
-        g = grad_f(z)
-        A = jac_c(z)
-        c = constraints(z)
-        H = hess_l(z, lam)
-        # Levenberg damping keeps the reduced Hessian positive enough far
-        # from the solution; the constraint block is left exact.  mu is
-        # escalated whenever a step fails the merit test (below) and decays
-        # back toward the floor on success — standard trust-region-free
-        # globalization for an oracle that must not stall on stiff problems.
-        Hd = H + mu * jnp.eye(n_z, dtype=z.dtype)
-        KKT = jnp.block([[Hd, A.T], [A, jnp.zeros((n_c, n_c), z.dtype)]])
-        rhs = jnp.concatenate([-(g + A.T @ lam), -c])
-        sol = jnp.linalg.solve(KKT, rhs)
-        dz, dlam = sol[:n_z], sol[n_z:]
-
-        # ℓ1-merit backtracking (accept-if-lower — the oracle only needs
-        # robust global progress).  The exact-penalty weight must dominate
-        # the multipliers for the merit to be compatible with the SQP step.
-        rho = jnp.maximum(10.0, 2.0 * jnp.max(jnp.abs(lam + dlam)))
-        m0 = merit(z, rho)
-        cand = jax.vmap(lambda a: merit(z + a * dz, rho))(alphas)
-        finite = jnp.isfinite(cand) & (cand < m0)
-        idx = jnp.argmax(finite)
-        stepped = jnp.any(finite)
-        alpha = jnp.where(stepped, alphas[idx], 0.0)
-        z_new = z + alpha * dz
-        lam_new = jnp.where(stepped, lam + alpha * dlam, lam)
-        mu_new = jnp.where(stepped, jnp.maximum(mu * 0.3, damping),
-                           jnp.maximum(mu, damping) * 10.0)
-
-        kkt = jnp.maximum(jnp.max(jnp.abs(g + A.T @ lam_new)),
-                          jnp.max(jnp.abs(c)))
-        done_new = (kkt < tol) | (~stepped & (mu_new > 1e8))
-        return z_new, lam_new, mu_new, k + 1, done_new
-
-    def cond(carry):
-        _, _, _, k, done = carry
-        return (~done) & (k < maxiter)
-
-    lam0 = jnp.zeros(n_c, dtype=z0.dtype)
-    z, lam, _, iters, _ = jax.lax.while_loop(
-        cond, body,
-        (z0, lam0, jnp.asarray(damping, dtype=z0.dtype), jnp.asarray(0),
-         jnp.asarray(False)))
-
-    X, U = _unpack(z, N, n_x, n_u, x0)
-    g = grad_f(z)
-    A = jac_c(z)
-    c = constraints(z)
-    kkt = jnp.maximum(jnp.max(jnp.abs(g + A.T @ lam)), jnp.max(jnp.abs(c)))
-    return CollocationSolution(X=X, U=U, cost=objective(z), kkt_residual=kkt,
-                               iterations=iters)
+        cost, _ = obj_con(X, U)
+        sol = CollocationSolution(
+            X=X, U=U, cost=cost,
+            kkt_residual=jnp.asarray(kkt_inf, dtype=X.dtype),
+            iterations=jnp.asarray(iters))
+    return sol

@@ -13,9 +13,24 @@ single element stream
 — one P-chain shared across all A candidates.  Per combine that is
 n³ + A·n² multiplies vs A·(n³ + n²) for the replicated form (~2.5× less at
 n=4, A=10), on top of the fused-kernel wins over `lax.associative_scan`
-(documented in `ilqr_tpu.ops.pallas_riccati`): field-major (F, N) packing with
-time along TPU lanes, the whole ceil(log2 N) recursive-doubling sweep in one
-kernel with the working set in VMEM, pure elementwise VPU arithmetic.
+(documented in `ilqr_tpu.ops.pallas_riccati`).
+
+Layout (round 4; mirrors the fused Riccati backward, which these choices
+made 5-20× faster than the first lane-major revision — NOTES.md):
+
+* **sublane-packed** (F, 8, L) blocks, t = s·L + l: every VPU op runs at
+  full 8×128 tile occupancy instead of 1/8 for (1, N) field rows;
+* the whole recursive-doubling PREFIX sweep runs inside one kernel (lane
+  sweeps d = 1..L/2 via lane roll + sublane-carry select, then sublane
+  sweeps d = L, 2L, 4L);
+* **cross-block closure inside the kernel**: the grid walks blocks
+  left-to-right (TPU grids execute sequentially) with the running prefix
+  element carried in SMEM — the previous revision closed blocks with XLA
+  small-matrix einsums over all N, which dominated its runtime (the same
+  mistake the Riccati kernel fixed in round 3);
+* δ₀ is **folded into the first drive** (q₀ ← q₀ + P₀ δ₀), so the output
+  IS the q-field prefix: the kernel writes only the A·n drive rows back to
+  HBM and the (N, n, n) prefix-product chain never leaves VMEM.
 
 Recursive doubling for an inclusive PREFIX scan: with E⁰ = leaves, repeat for
 d = 1, 2, 4, …:  E[k] ← E[k−d] ∘ E[k] (lanes k < d unchanged).  After
@@ -37,22 +52,20 @@ from ilqr_tpu.models.base import f32_matmuls
 
 LANES = 128
 
-# Same VMEM scoped-stack budget reasoning as ops.pallas_riccati: F ≤ 56 rows
-# at 2048 lanes ≈ 0.46 MB per working-set copy.
-MAX_BLOCK_LANES = 2048
-
-
-# ---------------------------------------------------------------------------
-# Packing: (P: (N, n, n), q: (A, N, n))  <->  (F, n_pad) field-major array,
-# F = n² + A·n.  Row layout: P row-major first, then q candidate-major.
-# ---------------------------------------------------------------------------
 
 def num_fields(n_x: int, n_cand: int) -> int:
     return n_x * n_x + n_cand * n_x
 
 
+# ---------------------------------------------------------------------------
+# Packing: (P: (N, n, n), q: (A, N, n))  <->  sublane-packed
+# (F+1, 8, n_blocks·L) array, F = n² + A·n.  Row layout: P row-major first,
+# then q candidate-major; the trailing row is the block index (vmap safety —
+# see `pallas_riccati._blk_index_row`).
+# ---------------------------------------------------------------------------
+
 def pack_affine(P: jnp.ndarray, q: jnp.ndarray, n_pad: int) -> jnp.ndarray:
-    """Stack (P, q) fields into (F, n_pad), identity-padded on the right."""
+    """Stack (P, q) fields into flat (F, n_pad), identity-padded on the right."""
     N, n_x = P.shape[0], P.shape[-1]
     A = q.shape[0]
     P_flat = P.reshape(N, n_x * n_x).T                       # (n_x², N)
@@ -70,104 +83,173 @@ def pack_affine(P: jnp.ndarray, q: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return out
 
 
-def unpack_affine(packed: jnp.ndarray, N: int, n_x: int, n_cand: int):
-    nn = n_x * n_x
-    P = packed[:nn, :N].T.reshape(N, n_x, n_x)
-    q = packed[nn:nn + n_cand * n_x, :N].reshape(n_cand, n_x, N)
-    return P, jnp.moveaxis(q, -1, 1)                          # (A, N, n_x)
+def pack_affine_sub(P: jnp.ndarray, q: jnp.ndarray, n_blocks: int,
+                    l_blk: int) -> jnp.ndarray:
+    """(F+1, 8, n_blocks·l_blk), block-contiguous sublane layout."""
+    from ilqr_tpu.ops.pallas_riccati import _blk_index_row
+
+    flat = pack_affine(P, q, n_blocks * 8 * l_blk)
+    F = flat.shape[0]
+    packed = (
+        flat.reshape(F, n_blocks, 8, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(F, 8, n_blocks * l_blk)
+    )
+    return jnp.concatenate(
+        [packed, _blk_index_row(n_blocks, l_blk, packed.dtype)], axis=0
+    )
 
 
 # ---------------------------------------------------------------------------
 # The kernel: row-symbolic combine (cf. ops.pallas_riccati's conventions —
-# a matrix is a list-of-lists of (1, N) row vectors; everything unrolls to
-# elementwise VPU ops at trace time).
+# a matrix is a list of (8, L) row tiles; everything unrolls to elementwise
+# VPU ops at trace time).
 # ---------------------------------------------------------------------------
 
-def _rows_of_ref(ref, n_x, n_cand, roll_shift=None):
-    from jax.experimental.pallas import tpu as pltpu
-
-    def row(i):
-        r = ref[i:i + 1, :]
-        if roll_shift is not None:
-            r = pltpu.roll(r, shift=roll_shift, axis=1)
-        return r
-
+def _affine_fields(row_fn, n_x: int, n_cand: int):
     nn = n_x * n_x
-    P = [[row(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
-    q = [[row(nn + a * n_x + i) for i in range(n_x)] for a in range(n_cand)]
+    P = [[row_fn(i * n_x + j) for j in range(n_x)] for i in range(n_x)]
+    q = [[row_fn(nn + a * n_x + i) for i in range(n_x)] for a in range(n_cand)]
     return P, q
 
 
-def _prefix_kernel(n_x: int, n_cand: int, n_sweeps: int,
-                   in_ref, out_ref, scratch_ref):
-    N = in_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+def _combine_affine(cur, part, n_x: int, n_cand: int) -> List:
+    """E ← partner ∘ current (partner earlier): (P_c P_p, P_c q_p + q_c)."""
+    P2, q2 = cur
+    P1, q1 = part
+    P_new = [
+        [sum(P2[i][k] * P1[k][j] for k in range(n_x)) for j in range(n_x)]
+        for i in range(n_x)
+    ]
+    q_new = [
+        [sum(P2[i][k] * q1[a][k] for k in range(n_x)) + q2[a][i]
+         for i in range(n_x)]
+        for a in range(n_cand)
+    ]
+    flat: List = []
+    for r in P_new:
+        flat.extend(r)
+    for qa in q_new:
+        flat.extend(qa)
+    return flat
 
-    out_ref[:] = in_ref[:]
 
-    def sweep(s, carry):
-        d = 1 << s
-        # Earlier partner at k−d: per-row right-roll by d.  Lanes k < d keep
-        # their current value (validity mask below).
-        P1, q1 = _rows_of_ref(out_ref, n_x, n_cand, roll_shift=d)
-        P2, q2 = _rows_of_ref(out_ref, n_x, n_cand)
-        # (P2 P1, P2 q1 + q2) — composition earlier-then-later.
-        P_new = [
-            [sum(P2[i][k] * P1[k][j] for k in range(n_x)) for j in range(n_x)]
-            for i in range(n_x)
-        ]
-        q_new = [
-            [sum(P2[i][k] * q1[a][k] for k in range(n_x)) + q2[a][i]
-             for i in range(n_x)]
-            for a in range(n_cand)
-        ]
-        valid = lane >= d
-        flat: List = []
-        for r in P_new:
-            flat.extend(r)
-        for qa in q_new:
-            flat.extend(qa)
-        # Masked row-by-row writes into scratch (must not alias out_ref while
-        # its rows feed later reads), then copy back.
+def _prefix_kernel_sub(n_x: int, n_cand: int, l_blk: int, n_blocks: int,
+                       in_ref, out_ref, work_ref, tmp_ref, bound_ref):
+    """One (F, 8, l_blk) block: local prefix sweeps + SMEM-carried closure.
+
+    The grid walks blocks LEFT-TO-RIGHT; `bound_ref` holds the combined
+    prefix of every block to the left when this block runs.  The grid
+    position comes from the block-index data row (vmap prepends a batch grid
+    axis, which would shift `pl.program_id`; step == 0 re-seeds the carry
+    per batch element)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    F = in_ref.shape[0] - 1
+    nn = n_x * n_x
+    step = in_ref[F, 0, 0].astype(jnp.int32)
+    S = 8 * l_blk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, l_blk), 0)
+    t_idx = sub * l_blk + lane
+
+    work_ref[:] = in_ref[0:F, :, :]
+
+    # Leftmost block: boundary = identity element (P = I, q = 0).
+    @pl.when(step == 0)
+    def _init_boundary():
+        for f in range(F):
+            diag = f < nn and (f // n_x) == (f % n_x)
+            bound_ref[f, 0] = jnp.float32(1.0) if diag else jnp.float32(0.0)
+
+    def _apply(partner_row, valid):
+        cur = _affine_fields(lambda i: work_ref[i, :, :], n_x, n_cand)
+        part = _affine_fields(partner_row, n_x, n_cand)
+        flat = _combine_affine(cur, part, n_x, n_cand)
+        # Masked row-by-row writes into tmp (work rows are still read by
+        # later `flat` entries, so the update must not alias), then copy.
         for idx, new_row in enumerate(flat):
-            scratch_ref[idx:idx + 1, :] = jnp.where(
-                valid, new_row, out_ref[idx:idx + 1, :]
-            )
-        out_ref[:] = scratch_ref[:]
+            if valid is None:
+                tmp_ref[idx, :, :] = new_row
+            else:
+                tmp_ref[idx, :, :] = jnp.where(
+                    valid, new_row, work_ref[idx, :, :])
+        work_ref[:] = tmp_ref[:]
+
+    def lane_sweep(s, carry):
+        d = 1 << s
+
+        def partner(i):
+            r = work_ref[i, :, :]
+            rr = pltpu.roll(r, shift=d, axis=1)      # lane right-roll by d
+            rw = pltpu.roll(rr, shift=1, axis=0)     # sublane −1 carry
+            return jnp.where(lane >= d, rr, rw)
+
+        _apply(partner, t_idx >= d)
         return carry
 
-    jax.lax.fori_loop(0, n_sweeps, sweep, 0)
+    def sub_sweep(s, carry):
+        m = 1 << s
+
+        def partner(i):
+            return pltpu.roll(work_ref[i, :, :], shift=m, axis=0)
+
+        _apply(partner, t_idx >= m * l_blk)
+        return carry
+
+    n_lane_sweeps = (l_blk - 1).bit_length()  # d = 1 .. l_blk/2
+    jax.lax.fori_loop(0, n_lane_sweeps, lane_sweep, 0)
+    jax.lax.fori_loop(0, 3, sub_sweep, 0)     # d = L, 2L, 4L
+
+    # Closure against the carried prefix of all earlier blocks.
+    @pl.when(step > 0)
+    def _apply_boundary():
+        _apply(lambda i: bound_ref[i, 0], None)  # scalars, broadcast
+
+    # New boundary = closed element at local t = S−1.
+    @pl.when(step < n_blocks - 1)
+    def _update_boundary():
+        for f in range(F):
+            bound_ref[f, 0] = work_ref[f, 7, l_blk - 1]
+
+    # Only the drive rows leave the kernel (δ₀ folded into q₀, so the
+    # q prefix IS the trajectory correction; the P chain stays in VMEM).
+    out_ref[:] = work_ref[nn:nn + n_cand * n_x, :, :]
 
 
-@functools.partial(jax.jit, static_argnames=("n_x", "n_cand", "interpret"))
-def _prefix_scan_packed(packed: jnp.ndarray, n_x: int, n_cand: int,
-                        interpret: bool = False):
-    """Blocked local prefix scan over the packed (F, n_pad) array.
-
-    Each grid cell computes an independent prefix scan of its own lane block;
-    cross-block closure happens in `affine_prefix_scan_multi`.
-    """
+@functools.partial(jax.jit, static_argnames=("n_x", "n_cand", "l_blk",
+                                             "interpret"))
+def _prefix_scan_packed_sub(packed: jnp.ndarray, n_x: int, n_cand: int,
+                            l_blk: int, interpret: bool = False):
+    """Sublane-blocked prefix scan; returns the (A·n, 8, n_pad) drive rows."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    F, n_pad = packed.shape
-    blk = min(n_pad, MAX_BLOCK_LANES)
-    n_blocks = n_pad // blk
-    n_sweeps = max((blk - 1).bit_length(), 1)
-    kernel = functools.partial(_prefix_kernel, n_x, n_cand, n_sweeps)
+    F1, _, n_lanes = packed.shape
+    F = F1 - 1
+    n_blocks = n_lanes // l_blk
+    n_out = n_cand * n_x
+    kernel = functools.partial(_prefix_kernel_sub, n_x, n_cand, l_blk,
+                               n_blocks)
+    n_sweeps = (8 * l_blk - 1).bit_length() + 1
     flops_per_combine = 2 * (n_x**3 + n_cand * n_x**2)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        out_shape=jax.ShapeDtypeStruct((F, n_pad), packed.dtype),
-        in_specs=[pl.BlockSpec((F, blk), lambda i: (0, i),
+        out_shape=jax.ShapeDtypeStruct((n_out, 8, n_lanes), packed.dtype),
+        in_specs=[pl.BlockSpec((F1, 8, l_blk), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((F, blk), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_out, 8, l_blk), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((F, blk), packed.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((F, 8, l_blk), packed.dtype),
+            pltpu.VMEM((F, 8, l_blk), packed.dtype),
+            pltpu.SMEM((F, 1), packed.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=n_sweeps * n_pad * flops_per_combine,
-            bytes_accessed=2 * F * n_pad * 4,
+            flops=n_sweeps * 8 * n_lanes * flops_per_combine,
+            bytes_accessed=(F1 + n_out) * 8 * n_lanes * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -200,15 +282,18 @@ def affine_prefix_scan_multi(
     q: jnp.ndarray,
     delta0: jnp.ndarray,
     engine: str = "auto",
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Solve δ_{k+1} = P_k δ_k + q_k^{(a)} for all candidates a at once.
 
     P: (N, n, n) shared transition chain; q: (A, N, n) per-candidate drives;
     delta0: (A, n) initial deltas.  Returns δ: (A, N+1, n) with δ[:, 0] = δ0.
-    O(log N) depth; engine 'pallas' requires n ≤ 12 (lane-major kernel),
+    O(log N) depth; engine 'pallas' requires n ≤ 12 (VMEM field cap),
     'auto' picks pallas on TPU for n ≤ 12 and XLA associative scan otherwise.
     """
+    from ilqr_tpu.ops.pallas_riccati import _resolve_interpret, _sub_blocking
+
+    interpret = _resolve_interpret(interpret)
     N, n_x = P.shape[0], P.shape[-1]
     A = q.shape[0]
     if engine == "auto":
@@ -219,33 +304,24 @@ def affine_prefix_scan_multi(
 
     if engine == "xla":
         Ps, qs = _prefix_scan_xla(P, q)
-    else:
-        n_pad = max(-(-N // LANES) * LANES, LANES)
-        if n_pad > MAX_BLOCK_LANES:
-            n_pad = -(-n_pad // MAX_BLOCK_LANES) * MAX_BLOCK_LANES
-        packed = pack_affine(P, q, n_pad)
-        out = _prefix_scan_packed(packed, n_x=n_x, n_cand=A,
-                                  interpret=interpret)
-        Ps, qs = unpack_affine(out, N, n_x, A)
-        blk = MAX_BLOCK_LANES
-        if n_pad > blk:
-            # Cross-block closure: local[k in block i] covers only its block;
-            # close with the exclusive prefix of per-block totals.
-            n_blocks = n_pad // blk
-            ends = jnp.minimum((jnp.arange(n_blocks) + 1) * blk, N) - 1
-            tot_P = Ps[ends]                                  # (B, n, n)
-            tot_q = qs[:, ends]                               # (A, B, n)
-            cp, cq = _prefix_scan_xla(tot_P, tot_q)
-            eyeP = jnp.eye(n_x, dtype=P.dtype)
-            carry_P = jnp.concatenate([eyeP[None], cp[:-1]], axis=0)
-            carry_q = jnp.concatenate(
-                [jnp.zeros_like(cq[:, :1]), cq[:, :-1]], axis=1
-            )
-            blk_idx = jnp.arange(N) // blk
-            cP = carry_P[blk_idx]                             # (N, n, n)
-            cq_l = carry_q[:, blk_idx]                        # (A, N, n)
-            qs = jnp.einsum("kij,akj->aki", Ps, cq_l) + qs
-            Ps = Ps @ cP
+        deltas = jnp.einsum("kij,aj->aki", Ps, delta0) + qs   # (A, N, n)
+        return jnp.concatenate([delta0[:, None], deltas], axis=1)
 
-    deltas = jnp.einsum("kij,aj->aki", Ps, delta0) + qs       # (A, N, n)
+    # δ₀ folded into the first drive: δ_{k+1} = (q-prefix)_k with δ₀ = 0,
+    # so only the A·n drive rows come back from the kernel.
+    F = num_fields(n_x, A)
+    q0 = q[:, 0] + jnp.einsum("ij,aj->ai", P[0], delta0)
+    q_adj = jnp.concatenate([q0[:, None], q[:, 1:]], axis=1)
+    l_blk, n_blocks = _sub_blocking(
+        N, vmem_rows=2 * (F + 1) + 2 * A * n_x + 2 * F)
+    packed = pack_affine_sub(P, q_adj, n_blocks, l_blk)
+    out = _prefix_scan_packed_sub(packed, n_x=n_x, n_cand=A, l_blk=l_blk,
+                                  interpret=interpret)
+    n_steps = n_blocks * 8 * l_blk
+    flat = (
+        out.reshape(A * n_x, 8, n_blocks, l_blk)
+        .transpose(0, 2, 1, 3)
+        .reshape(A * n_x, n_steps)
+    )
+    deltas = jnp.moveaxis(flat[:, :N].reshape(A, n_x, N), -1, 1)  # (A, N, n)
     return jnp.concatenate([delta0[:, None], deltas], axis=1)

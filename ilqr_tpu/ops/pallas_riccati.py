@@ -29,6 +29,12 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+
+def _resolve_interpret(interpret):
+    """None = interpret everywhere except TPU, so explicit-engine configs
+    stay runnable (and smoke-testable) on CPU; compiled Mosaic on TPU."""
+    return jax.default_backend() != "tpu" if interpret is None else interpret
+
 from ilqr_tpu.models.base import f32_matmuls
 from ilqr_tpu.ops.linearize import TrajectoryExpansion
 from ilqr_tpu.ops.parallel_riccati import (
@@ -641,7 +647,7 @@ def _close_blocks(local: RiccatiElement, M: int, n_x: int, blk: int,
 
 
 def suffix_scan_pallas(
-    elems: RiccatiElement, interpret: bool = False, layout: str = "sub"
+    elems: RiccatiElement, interpret: bool | None = None, layout: str = "sub"
 ) -> RiccatiElement:
     """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 12;
     the cap is VMEM-driven — F = 3n_x²+2n_x working rows per block at the
@@ -653,6 +659,7 @@ def suffix_scan_pallas(
     """
     from ilqr_tpu.ops.parallel_riccati import suffix_scan
 
+    interpret = _resolve_interpret(interpret)
     M = elems.A.shape[0]
     n_x = elems.A.shape[-1]
     if n_x > 12:
@@ -925,7 +932,7 @@ def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
 @f32_matmuls
 def backward_pass_pallas_fused(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
-    interpret: bool = False, defects=None,
+    interpret: bool | None = None, defects=None,
 ):
     """Fully fused Pallas backward pass; same contract as
     `ilqr_tpu.ops.riccati.backward_pass` (n_x ≤ 12, n_u ≤ 6 — the VMEM-
@@ -933,6 +940,7 @@ def backward_pass_pallas_fused(
     (`ilqr_tpu.shooting`)."""
     from ilqr_tpu.ops.parallel_riccati import backward_pass_associative
 
+    interpret = _resolve_interpret(interpret)
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
     if n_x > 12 or n_u > 6:
@@ -968,7 +976,7 @@ def backward_pass_pallas_fused(
 @f32_matmuls
 def backward_pass_pallas(
     exp: TrajectoryExpansion, reg: jnp.ndarray | float = 0.0,
-    interpret: bool = False, layout: str = "sub", defects=None,
+    interpret: bool | None = None, layout: str = "sub", defects=None,
 ):
     """Backward pass using the fused Pallas suffix scan; same contract as
     `ilqr_tpu.ops.riccati.backward_pass` (incl. the GNMS ``defects``

@@ -197,11 +197,16 @@ def _common_inputs(system, x0, alphas, X_old, U_old, u_ff, K):
 
 
 def linesearch_costs_pallas(
-    system: System, x0, alphas, X_old, U_old, u_ff, K, interpret: bool = False
+    system: System, x0, alphas, X_old, U_old, u_ff, K,
+    interpret: bool | None = None
 ):
     """Candidate costs for every α from one sequential in-kernel pass."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from ilqr_tpu.ops.pallas_riccati import _resolve_interpret
+
+    interpret = _resolve_interpret(interpret)
 
     N, n_x, n_u, n_pad, a_pad, al, Xo, Uo, F, Kf = _common_inputs(
         system, x0, alphas, X_old, U_old, u_ff, K
@@ -233,12 +238,17 @@ def linesearch_costs_pallas(
 
 
 def closed_loop_rollout_pallas(
-    system: System, x0, alpha, X_old, U_old, u_ff, K, interpret: bool = False
+    system: System, x0, alpha, X_old, U_old, u_ff, K,
+    interpret: bool | None = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Materialize the rollout for one α. Same contract as
     `ilqr_tpu.ops.rollout.closed_loop_rollout`."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    from ilqr_tpu.ops.pallas_riccati import _resolve_interpret
+
+    interpret = _resolve_interpret(interpret)
 
     alphas = jnp.broadcast_to(jnp.asarray(alpha)[None], (1,))
     N, n_x, n_u, n_pad, a_pad, al, Xo, Uo, F, Kf = _common_inputs(

@@ -123,8 +123,8 @@ def test_collocation_matches_ilqr_pendulum():
     assert float(sol_c.kkt_residual) < 1e-4
     assert abs(float(sol_c.cost) - float(sol_i.cost)) < 1e-4 * max(
         1.0, abs(float(sol_i.cost)))
-    assert float(jnp.max(jnp.abs(sol_c.X - sol_i.X))) < 1e-3
-    assert float(jnp.max(jnp.abs(sol_c.U - sol_i.U))) < 1e-3
+    assert float(np.max(np.abs(np.asarray(sol_c.X) - np.asarray(sol_i.X)))) < 1e-3
+    assert float(np.max(np.abs(np.asarray(sol_c.U) - np.asarray(sol_i.U)))) < 1e-3
 
 
 def test_trapezoidal_collocation_matches_trapezoidal_ilqr():
@@ -143,44 +143,40 @@ def test_trapezoidal_collocation_matches_trapezoidal_ilqr():
     assert float(sol_c.kkt_residual) < 1e-4
     assert abs(float(sol_c.cost) - float(sol_i.cost)) < 1e-4 * max(
         1.0, abs(float(sol_i.cost)))
-    assert float(jnp.max(jnp.abs(sol_c.X - sol_i.X))) < 1e-3
+    assert float(np.max(np.abs(np.asarray(sol_c.X) - np.asarray(sol_i.X)))) < 1e-3
 
 
 def test_collocation_matches_ilqr_double_pendulum():
-    """The reference's hard workload family (DP swing-up, reduced horizon
-    so the dense KKT factorization stays test-sized).  The oracle runs in
-    f64 (`enable_x64_oracle`) — the stiff Q_f=1000 cascade puts the f32
-    KKT-residual floor near 0.4, while the f64 NLP converges cleanly and
-    gives a sharper independent optimum to gate the f32 solve against."""
+    """The reference's hard workload at FULL strength: the exact DP swing-up
+    config of `run_double_pendulum_open_loop.py:16-70` (dt=0.01, T=5,
+    N=500, Q_f=1000 cascade) — no test-size horizon reduction.  The oracle
+    computes in f64 internally (its documented contract, matching the
+    reference whose CasADi/IPOPT cross-check is genuine double precision
+    while the JAX side runs f32)."""
     from ilqr_tpu.collocation import solve_collocation
-    from ilqr_tpu.utils.x64 import enable_x64_oracle
 
     def build():
         return it.make_double_pendulum(
-            0.02, [jnp.pi, 0.0, 0.0, 0.0],
+            0.01, [jnp.pi, 0.0, 0.0, 0.0],
             Q=jnp.diag(jnp.array([10.0, 10.0, 0.1, 0.1])),
             R=jnp.diag(jnp.array([0.1, 0.1])),
             Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
             d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12, integrator="euler",
         )
 
-    sol_i = it.solve(build(), jnp.zeros(4), jnp.zeros((120, 2)),
+    sol_i = it.solve(build(), jnp.zeros(4), jnp.zeros((500, 2)),
                      it.IlqrConfig(maxiter=300, tol=1e-9))
+    sol_c = solve_collocation(build(), jnp.zeros(4), jnp.zeros((500, 2)),
+                              defect="step", maxiter=200, tol=1e-6,
+                              damping=1e-2)
+    cost_c = float(sol_c.cost)
+    X_c = np.asarray(jax.device_get(sol_c.X), dtype=np.float32)
 
-    with enable_x64_oracle():
-        sol_c = solve_collocation(
-            build(), jnp.zeros(4, dtype=jnp.float64),
-            jnp.zeros((120, 2), dtype=jnp.float64), defect="step",
-            maxiter=150, tol=1e-6, damping=1e-2)
-        cost_c = float(sol_c.cost)
-        kkt_c = float(sol_c.kkt_residual)
-        X_c = jax.device_get(sol_c.X)
-
-    assert kkt_c < 1e-4
+    assert float(sol_c.kkt_residual) < 1e-5
     # Same optimum within f32 tolerances (trajectory overlay, the
     # reference's acceptance criterion at nonlinear_iLQR.m:104-141).
     assert abs(cost_c - float(sol_i.cost)) < 1e-3 * max(1.0, abs(cost_c))
-    assert float(jnp.max(jnp.abs(sol_i.X - X_c))) < 5e-2
+    assert float(np.max(np.abs(np.asarray(sol_i.X) - X_c))) < 1e-1
 
 
 def test_collocation_from_infeasible_start():

@@ -97,6 +97,33 @@ def test_gradients_match_unrolled_autodiff():
     assert jnp.allclose(gx_ift, gx_unr, rtol=5e-3, atol=1e-4)
 
 
+def test_gradients_match_unrolled_autodiff_f64():
+    """f64 companion to the 1e-2 f32 gate above (VERDICT r3 item 8): the
+    f32 tolerance absorbs summation-order noise, so this pins the REAL
+    IFT-vs-unrolled agreement at double precision, where the solve sits
+    sharply on its stationary point."""
+    from ilqr_tpu.utils.x64 import enable_x64_oracle
+
+    with enable_x64_oracle():
+        x0 = jnp.array([0.3, 0.0], dtype=jnp.float64)
+        u0 = jnp.zeros((N, 1), dtype=jnp.float64)
+
+        def loss_ift(q, x0):
+            sol = solve_implicit(_pendulum(q_scale=q), x0, u0, CFG)
+            return jnp.sum(sol.U**2) + jnp.sum(sol.X[-1] ** 2)
+
+        def loss_unrolled(q, x0):
+            X, U, _ = _unrolled_solve(_pendulum(q_scale=q), x0, u0)
+            return jnp.sum(U**2) + jnp.sum(X[-1] ** 2)
+
+        gq_ift, gx_ift = jax.grad(loss_ift, argnums=(0, 1))(
+            jnp.float64(1.0), x0)
+        gq_unr, gx_unr = jax.grad(loss_unrolled, argnums=(0, 1))(
+            jnp.float64(1.0), x0)
+        assert abs(gq_ift - gq_unr) <= 2e-3 * max(abs(gq_unr), 1.0)
+        assert jnp.allclose(gx_ift, gx_unr, rtol=2e-3, atol=1e-6)
+
+
 def test_envelope_theorem():
     # d(cost*)/dθ must equal the direct partial ∂J/∂θ at the fixed optimum
     # (the implicit term vanishes because ∇_U J(U*) = 0).

@@ -48,22 +48,38 @@ def test_pallas_kernel_matches_xla_single_block():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_kernel_matches_xla_blocked(monkeypatch):
-    # Shrink the block size so a modest N exercises cross-block closure.
-    monkeypatch.setattr(pa, "MAX_BLOCK_LANES", 128)
-    P, q, delta0 = _random_problem(N=300, n=2, A=2, seed=3)
+def test_pallas_kernel_matches_xla_blocked():
+    # N > 8·l_blk_min (= 1024 steps/block) exercises the in-kernel SMEM
+    # cross-block closure of the sublane-packed prefix kernel.
+    P, q, delta0 = _random_problem(N=2500, n=2, A=2, seed=3)
     ref = pa.affine_prefix_scan_multi(P, q, delta0, engine="xla")
     got = pa.affine_prefix_scan_multi(P, q, delta0, engine="pallas",
                                       interpret=True)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_pack_unpack_roundtrip():
-    P, q, _ = _random_problem(N=37, n=4, A=5)
-    packed = pa.pack_affine(P, q, 128)
-    P2, q2 = pa.unpack_affine(packed, 37, 4, 5)
+def test_pack_sub_layout_roundtrip():
+    """pack_affine_sub is block-contiguous t = s·L + l with identity right-
+    padding and a trailing block-index row."""
+    N, n, A = 37, 4, 5
+    P, q, _ = _random_problem(N=N, n=n, A=A)
+    n_blocks, l_blk = 1, 128
+    packed = pa.pack_affine_sub(P, q, n_blocks, l_blk)
+    F = pa.num_fields(n, A)
+    assert packed.shape == (F + 1, 8, n_blocks * l_blk)
+    flat = (np.asarray(packed[:F])
+            .reshape(F, 8, n_blocks, l_blk)
+            .transpose(0, 2, 1, 3)
+            .reshape(F, n_blocks * 8 * l_blk))
+    P2 = flat[: n * n, :N].T.reshape(N, n, n)
+    q2 = np.moveaxis(flat[n * n:, :N].reshape(A, n, N), -1, 1)
     np.testing.assert_allclose(P2, P, atol=0)
     np.testing.assert_allclose(q2, q, atol=0)
+    # Right padding is the identity element (P = I, q = 0).
+    np.testing.assert_allclose(flat[: n * n, N:].T.reshape(-1, n, n),
+                               np.broadcast_to(np.eye(n), (1024 - N, n, n)),
+                               atol=0)
+    np.testing.assert_allclose(flat[n * n:, N:], 0.0, atol=0)
 
 
 def test_shared_linesearch_matches_sequential_rollouts():
