@@ -276,7 +276,10 @@ def main():
     # report via their cost estimate) divided by the slope-timed kernel
     # latency and the v5e VPU f32 peak.
     n_x_h = 4
-    n_sweeps_h = (8 * 1024 - 1).bit_length() + 2
+    from ilqr_tpu.ops.pallas_riccati import _sub_blocking
+
+    l_blk_h, _ = _sub_blocking(N_head + 1)
+    n_sweeps_h = (8 * l_blk_h - 1).bit_length() + 2
     kernel_flops = (n_sweeps_h + 1) * N_head * 40 * n_x_h**3
     vpu_util = kernel_flops / t_head / VPU_PEAK_F32
     log(metric="vpu_utilization_estimate", value=round(vpu_util, 4),

@@ -101,14 +101,24 @@ def quadratic_cost_params(x_target, Q, R, Q_f) -> dict:
 
 
 def quad_form(v, M):
-    """v'Mv via broadcasting (no dot_general) — identical math for n ≤ 8 and
-    safe to trace into Pallas kernels, where Mosaic rejects batched dots."""
-    return jnp.sum(v[..., :, None] * M * v[..., None, :], axis=(-2, -1))
+    """v'Mv, component-unrolled over the (static) dimension.
+
+    No dot_general AND no reduction ops: Mosaic rejects batched dots
+    everywhere and multi-dim/trailing reductions under the vmap batch-axis
+    placements the batched rollout kernels produce (ops/pallas_batched) —
+    the unrolled sum is pure elementwise arithmetic under any batching,
+    and XLA fuses the n² terms identically on the normal path."""
+    n = M.shape[-1]
+    return sum(v[..., i] * M[..., i, j] * v[..., j]
+               for i in range(n) for j in range(n))
 
 
 def matvec(M, v):
-    """M @ v via broadcasting (no dot_general) — Pallas/Mosaic-safe."""
-    return jnp.sum(M * v[..., None, :], axis=-1)
+    """M @ v, component-unrolled (see quad_form for why)."""
+    n = M.shape[-1]
+    cols = [sum(M[..., i, j] * v[..., j] for j in range(n))
+            for i in range(M.shape[-2])]
+    return jnp.stack(cols, axis=-1)
 
 
 def quadratic_stage_cost(params, x, u):

@@ -44,8 +44,9 @@ def f_cont(params, x, u):
     # (scalar algebra only — this function is traced into Pallas rollout
     # kernels, where Mosaic rejects batched dot_general ops).
     hc = m2 * l1 * lc2 * s2
-    tau1 = jnp.sum(p["S"][0] * u, axis=-1)
-    tau2 = jnp.sum(p["S"][1] * u, axis=-1)
+    n_u = u.shape[-1] if u.ndim else 1
+    tau1 = sum(p["S"][0, j] * u[..., j] for j in range(n_u))
+    tau2 = sum(p["S"][1, j] * u[..., j] for j in range(n_u))
     h1 = (tau1 + hc * (2.0 * q1d * q2d + q2d**2)
           - g * ((m1 * lc1 + m2 * l1) * s1 + m2 * lc2 * s12) - p["d1"] * q1d)
     h2 = tau2 - hc * q1d**2 - g * m2 * lc2 * s12 - p["d2"] * q2d

@@ -252,6 +252,8 @@ def _prefix_scan_packed_sub(packed: jnp.ndarray, n_x: int, n_cand: int,
             bytes_accessed=(F1 + n_out) * 8 * n_lanes * 4,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(packed)
 
@@ -288,8 +290,8 @@ def affine_prefix_scan_multi(
 
     P: (N, n, n) shared transition chain; q: (A, N, n) per-candidate drives;
     delta0: (A, n) initial deltas.  Returns δ: (A, N+1, n) with δ[:, 0] = δ0.
-    O(log N) depth; engine 'pallas' requires n ≤ 12 (VMEM field cap),
-    'auto' picks pallas on TPU for n ≤ 12 and XLA associative scan otherwise.
+    O(log N) depth; engine 'pallas' requires n ≤ 16 (row-symbolic QR
+    inverse reach), 'auto' picks pallas on TPU for n ≤ 16, XLA otherwise.
     """
     from ilqr_tpu.ops.pallas_riccati import _resolve_interpret, _sub_blocking
 
@@ -298,8 +300,8 @@ def affine_prefix_scan_multi(
     A = q.shape[0]
     if engine == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        engine = "pallas" if (on_tpu and n_x <= 12) else "xla"
-    if engine == "pallas" and n_x > 12:
+        engine = "pallas" if (on_tpu and n_x <= 16) else "xla"
+    if engine == "pallas" and n_x > 16:
         engine = "xla"
 
     if engine == "xla":

@@ -345,18 +345,18 @@ def _sub_blocking(M: int, vmem_rows: int | None = None) -> Tuple[int, int]:
     accumulated by the lane phase, double-counting elements under the
     non-idempotent combine (silently wrong gains at e.g. l_blk = 384).
 
-    ``vmem_rows`` = total (8, l_blk) f32 row-tiles resident per block across
-    all kernel buffers (pipeline double-buffering included); the lane width is
-    capped so they fit `VMEM_BUDGET_BYTES`.  F grows ~3·n_x², so n_x = 8
-    blocks at l_blk = 256 where n_x = 4 blocks at 1024.
+    Round 4: l_blk is pinned to the minimum tile width (128 lanes = 1024
+    steps/block).  Recursive doubling does S·log₂(S) combine work per
+    S-step block, so SMALLER blocks do strictly less total work (10 sweeps
+    at S=1024 vs 13 at the former VMEM-maximizing S=8192) while the
+    sequential-grid SMEM closure stays one combine per element either way;
+    measured on-chip at N=131k the fused backward dropped 1.21 ms → 0.74 ms
+    and the affine prefix scan improved similarly — the longer grid's DMA
+    pipelining is free.  ``vmem_rows`` is retained for API compatibility;
+    at this width no supported field count exceeds the VMEM budget.
     """
-    cap = MAX_SUB_LANES
-    if vmem_rows is not None:
-        while cap > LANES and vmem_rows * 8 * cap * 4 > VMEM_BUDGET_BYTES:
-            cap //= 2
+    del vmem_rows
     l_blk = LANES
-    while 8 * l_blk < M and l_blk < cap:
-        l_blk *= 2
     n_blocks = -(-M // (8 * l_blk))
     return l_blk, n_blocks
 
@@ -563,6 +563,10 @@ def _suffix_scan_packed_sub(
             bytes_accessed=2 * F * 8 * n_lanes * 4,
             transcendentals=0,
         ),
+        # n_x = 16 puts the fused working set ~100 KB over the default
+        # 16 MB scoped-VMEM limit; v5e has 128 MB — raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(packed)
 
@@ -599,6 +603,10 @@ def _suffix_scan_packed(packed: jnp.ndarray, n_x: int, interpret: bool = False):
             bytes_accessed=2 * F * n_pad * 4,
             transcendentals=0,
         ),
+        # n_x = 16 puts the fused working set ~100 KB over the default
+        # 16 MB scoped-VMEM limit; v5e has 128 MB — raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(packed)
 
@@ -649,10 +657,10 @@ def _close_blocks(local: RiccatiElement, M: int, n_x: int, blk: int,
 def suffix_scan_pallas(
     elems: RiccatiElement, interpret: bool | None = None, layout: str = "sub"
 ) -> RiccatiElement:
-    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 12;
-    the cap is VMEM-driven — F = 3n_x²+2n_x working rows per block at the
-    minimum l_blk = 128 exceed the scoped budget beyond n_x ≈ 12-14 — not an
-    algebra limit; larger n_x falls back to the XLA associative scan).
+    """Drop-in for `ilqr_tpu.ops.parallel_riccati.suffix_scan` (n_x ≤ 16,
+    the reach of the row-symbolic QR inverse; at the round-4 fixed
+    l_blk = 128 the VMEM working set stays in budget through n_x = 16 —
+    larger n_x falls back to the XLA associative scan).
 
     layout='sub' (default): sublane-packed kernel, fully dense VPU tiles.
     layout='lane': original (1, N)-row kernel.
@@ -662,7 +670,7 @@ def suffix_scan_pallas(
     interpret = _resolve_interpret(interpret)
     M = elems.A.shape[0]
     n_x = elems.A.shape[-1]
-    if n_x > 12:
+    if n_x > 16:
         return suffix_scan(elems)
 
     if layout == "sub":
@@ -925,6 +933,10 @@ def _fused_backward_packed(packed, reg, n_x: int, n_u: int, M: int,
             bytes_accessed=(Fe1 + Fo) * 8 * n_lanes * 4,
             transcendentals=0,
         ),
+        # n_x = 16 puts the fused working set ~100 KB over the default
+        # 16 MB scoped-VMEM limit; v5e has 128 MB — raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(reg.reshape(1, 1), packed)
 
@@ -943,7 +955,7 @@ def backward_pass_pallas_fused(
     interpret = _resolve_interpret(interpret)
     N, n_x = exp.f_x.shape[0], exp.f_x.shape[-1]
     n_u = exp.l_u.shape[-1]
-    if n_x > 12 or n_u > 6:
+    if n_x > 16 or n_u > 6:
         return backward_pass_associative(exp, reg, defects=defects)
     M = N + 1
     F = _num_fields(n_x)

@@ -286,7 +286,7 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         n_x = exp.v_x.shape[-1]
         N = exp.l_u.shape[0]
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and n_x <= 12 and N >= 256:
+        if on_tpu and n_x <= 16 and N >= 256:
             backward = "pallas"
         elif on_tpu and N >= 256:
             backward = "pscan"
@@ -308,7 +308,13 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
 
         return backward_pass_pallas(exp, reg)
-    return backward_pass(exp, reg)
+    # 'scan': custom_vmap wrapper — identical sequential recursion single-
+    # instance, but under vmap(solve) on TPU it dispatches to the batched
+    # Pallas kernel (batch on the VPU tiles, time on the sequential grid)
+    # instead of a vmapped N-step XLA scan (ops/pallas_batched.py).
+    from ilqr_tpu.ops.pallas_batched import backward_pass_smart
+
+    return backward_pass_smart(exp, reg)
 
 
 @f32_matmuls
@@ -358,6 +364,13 @@ def solve(
             lambda: (X_p, cost_p),
             lambda: rollout(system, x0, U_init),
         )
+    elif rollout_mode == "pallas":
+        # Batched solves under vmap route the initial rollout through the
+        # open-loop kernel too (the sequential chain vmaps into N dispatch-
+        # bound XLA scan steps otherwise); single-instance = plain rollout.
+        from ilqr_tpu.ops.pallas_batched import rollout_smart
+
+        X0, cost0 = rollout_smart(system, x0, U_init)
     else:
         X0, cost0 = rollout(system, x0, U_init)
     nan = jnp.full((config.maxiter,), jnp.nan, dtype=cost0.dtype)
@@ -411,12 +424,12 @@ def solve(
                                            hess, noise)
 
             if rollout_mode == "pallas":
-                from ilqr_tpu.ops.pallas_rollout import (
-                    closed_loop_rollout_pallas,
-                    linesearch_costs_pallas,
+                from ilqr_tpu.ops.pallas_batched import (
+                    closed_loop_rollout_smart,
+                    linesearch_costs_smart,
                 )
 
-                costs = linesearch_costs_pallas(
+                costs = linesearch_costs_smart(
                     system, x0, alphas, s["X"], s["U"], u_ff, K
                 )
                 certified = jnp.ones_like(costs, dtype=bool)
@@ -570,7 +583,7 @@ def solve(
                 k = s["k"]
                 if rollout_mode == "pallas":
                     # Materialize only the accepted α's trajectory.
-                    X_new, U_new, _ = closed_loop_rollout_pallas(
+                    X_new, U_new, _ = closed_loop_rollout_smart(
                         system, x0, alphas[idx], s["X"], s["U"], u_ff, K
                     )
                 else:
