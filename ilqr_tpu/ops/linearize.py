@@ -120,3 +120,47 @@ def linearize_trajectory(system: System, X: jnp.ndarray, U: jnp.ndarray) -> Traj
         f_x=f_x, f_u=f_u, l_x=l_x, l_u=l_u,
         l_xx=l_xx, l_ux=l_ux, l_uu=l_uu, v_x=v_x, v_xx=v_xx,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched linearization: vmap(solve) profiling (round 4) showed the vmapped
+# per-instance linearize dominating the batched solve (~200 of 240 ms at
+# B=1024, N=128): the rank-4 (B, N, n, n) jacobian outputs get laid out
+# with the tiny (n, n) matrices on the tiled minor dims — 64x padding at
+# n=4 — so the (cheap) derivative arithmetic writes 64x the bytes.
+# Flattening (B, N) into ONE point axis restores the rank-3 shapes the
+# single-trajectory path gets field-major layouts for.
+# ---------------------------------------------------------------------------
+
+from jax.custom_batching import custom_vmap
+
+
+@custom_vmap
+def linearize_trajectory_smart(system: System, X: jnp.ndarray,
+                               U: jnp.ndarray) -> TrajectoryExpansion:
+    """`linearize_trajectory` whose vmap flattens (B, N) into one axis."""
+    return linearize_trajectory(system, X, U)
+
+
+@linearize_trajectory_smart.def_vmap
+def _linearize_smart_vmap(axis_size, in_batched, system, X, U):
+    sys_b, Xb, Ub = in_batched
+    out_batched = TrajectoryExpansion(*([True] * 9))
+    if any(jax.tree_util.tree_leaves(sys_b)) or not (Xb and Ub):
+        axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
+                     for b_ in in_batched)
+        return (jax.vmap(linearize_trajectory, in_axes=axes)(system, X, U),
+                out_batched)
+    B, _, n_x = X.shape
+    N = U.shape[1]
+    xf = X[:, :-1].reshape(B * N, n_x)
+    uf = U.reshape(B * N, U.shape[-1])
+    leaves = jax.vmap(lambda x, u: _stage_expansion(system, x, u))(xf, uf)
+    f_x, f_u, l_x, l_u, l_xx, l_ux, l_uu = (
+        a.reshape((B, N) + a.shape[1:]) for a in leaves)
+    lf = lambda xx: system.terminal_cost(system.params, xx)
+    v_x = jax.vmap(jax.grad(lf))(X[:, -1])
+    v_xx = jax.vmap(jax.hessian(lf))(X[:, -1])
+    return TrajectoryExpansion(
+        f_x=f_x, f_u=f_u, l_x=l_x, l_u=l_u, l_xx=l_xx, l_ux=l_ux,
+        l_uu=l_uu, v_x=v_x, v_xx=v_xx), out_batched

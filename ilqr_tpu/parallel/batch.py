@@ -57,10 +57,23 @@ def solve_batched(
             U_init_batch, (x0_batch.shape[0],) + U_init_batch.shape
         )
     if mesh is not None:
+        # shard_map (not jit auto-partitioning): each shard runs the whole
+        # vmapped solve on its local slice — zero collectives, and the
+        # batch-fused Pallas kernels the solve dispatches to under vmap
+        # (ops/pallas_batched.py) are opaque custom calls the SPMD
+        # partitioner could not split on a real multi-chip mesh.
+        from jax.experimental.shard_map import shard_map
+
         x0_batch = jax.device_put(x0_batch, NamedSharding(mesh, P(axis)))
         U_init_batch = jax.device_put(
             U_init_batch, NamedSharding(mesh, P(axis, None, None))
         )
+        sharded = shard_map(
+            lambda xs, us: _solve_batched(system, xs, us, config),
+            mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis),
+            check_rep=False,
+        )
+        return sharded(x0_batch, U_init_batch)
     return _solve_batched(system, x0_batch, U_init_batch, config)
 
 

@@ -407,7 +407,9 @@ def solve(
             return {**s, "status": jnp.asarray(CONVERGED)}
 
         def iterate(s):
-            exp = linearize_trajectory(system, s["X"], s["U"])
+            from ilqr_tpu.ops.linearize import linearize_trajectory_smart
+
+            exp = linearize_trajectory_smart(system, s["X"], s["U"])
             if config.ddp:
                 from ilqr_tpu.ops.linearize import dynamics_hessians
 
