@@ -100,25 +100,52 @@ def quadratic_cost_params(x_target, Q, R, Q_f) -> dict:
     )
 
 
-def quad_form(v, M):
-    """v'Mv, component-unrolled over the (static) dimension.
+# Trace-time switch for the component-unrolled small-matrix forms below.
+# Inside the batched Pallas rollout kernels (ops/pallas_batched) the model
+# cost/dynamics are traced through a double-vmap whose batch-axis placement
+# makes Mosaic reject the reduction ops of the vectorized forms
+# ("reductions over both trailing dimensions...") — there the unrolled
+# scalar form is required.  Everywhere ELSE the vectorized reduce is
+# faster: the unrolled n² terms lower to n² separate ops per sequential
+# scan step, measured +35% on the N=500 DP full solve.
+import contextlib as _contextlib
 
-    No dot_general AND no reduction ops: Mosaic rejects batched dots
-    everywhere and multi-dim/trailing reductions under the vmap batch-axis
-    placements the batched rollout kernels produce (ops/pallas_batched) —
-    the unrolled sum is pure elementwise arithmetic under any batching,
-    and XLA fuses the n² terms identically on the normal path."""
+_UNROLLED_SMALLMATH = False
+
+
+@_contextlib.contextmanager
+def unrolled_smallmath():
+    """Trace model costs/dynamics with component-unrolled quad_form/matvec
+    (Mosaic-safe under any vmap batching).  Used while tracing Pallas
+    kernel bodies; a pure trace-time switch, not a runtime flag."""
+    global _UNROLLED_SMALLMATH
+    prev = _UNROLLED_SMALLMATH
+    _UNROLLED_SMALLMATH = True
+    try:
+        yield
+    finally:
+        _UNROLLED_SMALLMATH = prev
+
+
+def quad_form(v, M):
+    """v'Mv via broadcasting (no dot_general — tiny batched dots hit a slow
+    TPU path, see ops/smallmat.py); component-unrolled under
+    `unrolled_smallmath()` (see above)."""
     n = M.shape[-1]
-    return sum(v[..., i] * M[..., i, j] * v[..., j]
-               for i in range(n) for j in range(n))
+    if _UNROLLED_SMALLMATH:
+        return sum(v[..., i] * M[..., i, j] * v[..., j]
+                   for i in range(n) for j in range(n))
+    return jnp.sum(v[..., :, None] * M * v[..., None, :], axis=(-2, -1))
 
 
 def matvec(M, v):
-    """M @ v, component-unrolled (see quad_form for why)."""
-    n = M.shape[-1]
-    cols = [sum(M[..., i, j] * v[..., j] for j in range(n))
-            for i in range(M.shape[-2])]
-    return jnp.stack(cols, axis=-1)
+    """M @ v via broadcasting; unrolled under `unrolled_smallmath()`."""
+    if _UNROLLED_SMALLMATH:
+        n = M.shape[-1]
+        cols = [sum(M[..., i, j] * v[..., j] for j in range(n))
+                for i in range(M.shape[-2])]
+        return jnp.stack(cols, axis=-1)
+    return jnp.sum(M * v[..., None, :], axis=-1)
 
 
 def quadratic_stage_cost(params, x, u):

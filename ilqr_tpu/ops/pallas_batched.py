@@ -357,10 +357,13 @@ def _rollout_kernel(sys_static, shapes, treedef, n_p, n_x, n_u, N, A,
 
     x_val = jnp.stack(x)                    # (n_x, 8, Bl)
     u_val = jnp.stack(u)                    # (n_u, 8, Bl)
-    step_vv = _vv(lambda xx, uu: step(system, xx, uu))
-    cost_vv = _vv(lambda xx, uu: system.stage_cost(system.params, xx, uu))
-    x_new = step_vv(x_val, u_val)
-    c_sc[0, :, :] = c_sc[0, :, :] + cost_vv(x_val, u_val)
+    from ilqr_tpu.models.base import unrolled_smallmath
+
+    with unrolled_smallmath():
+        step_vv = _vv(lambda xx, uu: step(system, xx, uu))
+        cost_vv = _vv(lambda xx, uu: system.stage_cost(system.params, xx, uu))
+        x_new = step_vv(x_val, u_val)
+        c_sc[0, :, :] = c_sc[0, :, :] + cost_vv(x_val, u_val)
 
     if materialize:
         for i in range(n_x):
@@ -373,8 +376,9 @@ def _rollout_kernel(sys_static, shapes, treedef, n_p, n_x, n_u, N, A,
 
     @pl.when(t == N - 1)
     def _finish():
-        term_vv = _vv(lambda xx: system.terminal_cost(system.params, xx))
-        cost_ref[0, :, :] = c_sc[0, :, :] + term_vv(x_new)
+        with unrolled_smallmath():
+            term_vv = _vv(lambda xx: system.terminal_cost(system.params, xx))
+            cost_ref[0, :, :] = c_sc[0, :, :] + term_vv(x_new)
         if materialize:
             for i in range(n_x):
                 xN_ref[i, :, :] = x_new[i]
@@ -543,14 +547,16 @@ def _ls_costs_smart_vmap(axis_size, in_batched, system, x0, alphas,
     if data_ok and _kernel_ok(system):
         return (linesearch_costs_batched(system, x0, alphas, X_old, U_old,
                                          u_ff, K), True)
+    from ilqr_tpu.models.base import unrolled_smallmath
     from ilqr_tpu.ops.rollout import linesearch_rollouts
 
     axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
                  for b_ in in_batched)
-    costs = jax.vmap(
-        lambda s, x, a, X, U, f, k: linesearch_rollouts(s, x, a, X, U, f,
-                                                        k)[2],
-        in_axes=axes)(system, x0, alphas, X_old, U_old, u_ff, K)
+    with unrolled_smallmath():
+        costs = jax.vmap(
+            lambda s, x, a, X, U, f, k: linesearch_rollouts(s, x, a, X, U,
+                                                            f, k)[2],
+            in_axes=axes)(system, x0, alphas, X_old, U_old, u_ff, K)
     return costs, True
 
 
@@ -577,12 +583,14 @@ def _clr_smart_vmap(axis_size, in_batched, system, x0, alpha, X_old, U_old,
         out = closed_loop_rollout_batched(system, x0, alpha_b, X_old, U_old,
                                           u_ff, K)
         return out, (True, True, True)
+    from ilqr_tpu.models.base import unrolled_smallmath
     from ilqr_tpu.ops.rollout import closed_loop_rollout
 
     axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
                  for b_ in in_batched)
-    out = jax.vmap(closed_loop_rollout, in_axes=axes)(
-        system, x0, alpha, X_old, U_old, u_ff, K)
+    with unrolled_smallmath():
+        out = jax.vmap(closed_loop_rollout, in_axes=axes)(
+            system, x0, alpha, X_old, U_old, u_ff, K)
     return out, (True, True, True)
 
 
@@ -606,8 +614,64 @@ def _rollout_smart_vmap(axis_size, in_batched, system, x0, U):
         U_full = (U if U_b
                   else jnp.broadcast_to(U, (axis_size,) + U.shape))
         return open_loop_rollout_batched(system, x0, U_full), (True, True)
+    from ilqr_tpu.models.base import unrolled_smallmath
     from ilqr_tpu.ops.rollout import rollout
 
     axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
                  for b_ in in_batched)
-    return jax.vmap(rollout, in_axes=axes)(system, x0, U), (True, True)
+    with unrolled_smallmath():
+        return (jax.vmap(rollout, in_axes=axes)(system, x0, U),
+                (True, True))
+
+
+# Scan-mode batched wrappers: same sequential engines, but the batched
+# trace runs under `unrolled_smallmath` — the vectorized quad_form/matvec
+# materialize (batch, n, n) intermediates whose tiny minor dims get tile-
+# padded ~64x inside big vmapped programs (measured: batched solves 23.3k
+# vs 12.8k solves/s at B=1024, N=128).  No Pallas here, so these are safe
+# for EVERY model (incl. ones whose ops do not lower to Mosaic).
+
+@custom_vmap
+def linesearch_rollouts_smart(system: System, x0, alphas, X_old, U_old,
+                              u_ff, K, u_limits=None):
+    from ilqr_tpu.ops.rollout import linesearch_rollouts
+
+    return linesearch_rollouts(system, x0, alphas, X_old, U_old, u_ff, K,
+                               u_limits=u_limits)
+
+
+@linesearch_rollouts_smart.def_vmap
+def _ls_rollouts_smart_vmap(axis_size, in_batched, system, x0, alphas,
+                            X_old, U_old, u_ff, K, u_limits=None):
+    from ilqr_tpu.models.base import unrolled_smallmath
+    from ilqr_tpu.ops.rollout import linesearch_rollouts
+
+    axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
+                 for b_ in in_batched)
+    with unrolled_smallmath():
+        out = jax.vmap(
+            lambda s, x, a, X, U, f, k, ul: linesearch_rollouts(
+                s, x, a, X, U, f, k, u_limits=ul),
+            in_axes=axes)(system, x0, alphas, X_old, U_old, u_ff, K,
+                          u_limits)
+    return out, (True, True, True)
+
+
+@custom_vmap
+def rollout_flagged(system: System, x0, U):
+    """`ops.rollout.rollout` whose vmap traces under unrolled_smallmath —
+    no kernel dispatch (safe for every model)."""
+    from ilqr_tpu.ops.rollout import rollout
+
+    return rollout(system, x0, U)
+
+
+@rollout_flagged.def_vmap
+def _rollout_flagged_vmap(axis_size, in_batched, system, x0, U):
+    from ilqr_tpu.models.base import unrolled_smallmath
+    from ilqr_tpu.ops.rollout import rollout
+
+    axes = tuple(jax.tree_util.tree_map(lambda b: 0 if b else None, b_)
+                 for b_ in in_batched)
+    with unrolled_smallmath():
+        return jax.vmap(rollout, in_axes=axes)(system, x0, U), (True, True)

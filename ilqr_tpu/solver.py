@@ -372,7 +372,9 @@ def solve(
 
         X0, cost0 = rollout_smart(system, x0, U_init)
     else:
-        X0, cost0 = rollout(system, x0, U_init)
+        from ilqr_tpu.ops.pallas_batched import rollout_flagged
+
+        X0, cost0 = rollout_flagged(system, x0, U_init)
     nan = jnp.full((config.maxiter,), jnp.nan, dtype=cost0.dtype)
 
     init = dict(
@@ -496,7 +498,11 @@ def solve(
                 exit_tol = 1e-3 * cert_tol
 
                 def exact_ls(_):
-                    Xs, Us, cs = linesearch_rollouts(
+                    from ilqr_tpu.ops.pallas_batched import (
+                        linesearch_rollouts_smart,
+                    )
+
+                    Xs, Us, cs = linesearch_rollouts_smart(
                         system, x0, alphas, s["X"], s["U"], u_ff, K,
                         u_limits=limits)
                     return (Xs, Us, cs, jnp.ones_like(cs, dtype=bool),
@@ -569,7 +575,11 @@ def solve(
                 X_c, U_c, costs, certified, par_success = jax.lax.cond(
                     s["use_defect"], defect_ls, exact_ls, None)
             else:
-                X_c, U_c, costs = linesearch_rollouts(
+                from ilqr_tpu.ops.pallas_batched import (
+                    linesearch_rollouts_smart,
+                )
+
+                X_c, U_c, costs = linesearch_rollouts_smart(
                     system, x0, alphas, s["X"], s["U"], u_ff, K,
                     u_limits=config.limit_arrays(n_u, U_init.dtype),
                 )
