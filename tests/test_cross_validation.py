@@ -198,3 +198,31 @@ def test_collocation_from_infeasible_start():
     assert float(sol_c.kkt_residual) < 1e-4
     assert abs(float(sol_c.cost) - float(sol_i.cost)) < 1e-4 * max(
         1.0, abs(float(sol_i.cost)))
+
+
+def test_collocation_matches_analytic_lqr():
+    """Linear double-integrator OCP: collocation must land on the exact
+    one-shot LQR optimum — the role `casadi_sol.m`/`main_.m:34-92` play in
+    the reference (independent transcription vs the analytic solution)."""
+    from ilqr_tpu.collocation import solve_collocation
+    from ilqr_tpu.models.linear import make_lti
+
+    dt, N = 0.1, 40
+    A_c = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+    B_c = jnp.array([[0.0], [1.0]])
+    A_d, B_d = it.cont2disc(A_c, B_c, dt)
+    Q, R, Q_f = jnp.eye(2), jnp.eye(1), 10.0 * jnp.eye(2)
+    x0 = jnp.array([1.0, 0.5])
+    lqr = it.lqr_solve(A_d, B_d, Q, R, Q_f, x0, N)
+    # `System` stage costs are dt-scaled (reference convention,
+    # pendulum_sys.py:87-89); feed Q/dt, R/dt so the discrete objective
+    # matches lqr_solve's unscaled 0.5(x'Qx + u'Ru) exactly.
+    sys_ = make_lti(A_d, B_d, dt, [0.0, 0.0], Q / dt, R / dt, Q_f,
+                    integrator="discrete")
+    sol_c = solve_collocation(sys_, x0, jnp.zeros((N, 1)), defect="step",
+                              tol=1e-8)
+    assert float(sol_c.kkt_residual) < 1e-7
+    assert abs(float(sol_c.cost) - float(lqr.cost)) < 1e-5 * max(
+        1.0, abs(float(lqr.cost)))
+    assert float(np.max(np.abs(np.asarray(sol_c.U)
+                               - np.asarray(lqr.U)))) < 1e-4
