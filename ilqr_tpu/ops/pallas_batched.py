@@ -280,6 +280,41 @@ def _backward_pass_smart_vmap(axis_size, in_batched, exp, reg):
     return out, (True, True, True, True)
 
 
+@custom_vmap
+def backward_pass_fused_smart(exp: TrajectoryExpansion, reg):
+    """`pallas_riccati.backward_pass_pallas_fused` whose vmap picks the
+    right batched engine.
+
+    Single instance: the fused parallel-scan kernel.  Under vmap, the
+    per-instance blocks underfill the tiles (129/1024 positions at N=128),
+    so for B-large/N-moderate the batched sequential kernel wins; for
+    B-small/N-long the O(log N) vmapped fused kernel still wins."""
+    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
+
+    return backward_pass_pallas_fused(exp, reg)
+
+
+@backward_pass_fused_smart.def_vmap
+def _bp_fused_smart_vmap(axis_size, in_batched, exp, reg):
+    exp_b, reg_b = in_batched
+    all_batched = all(jax.tree_util.tree_leaves(exp_b))
+    n_x = exp.f_x.shape[-1]
+    N = exp.f_x.shape[1] if all_batched else exp.f_x.shape[0]
+    use_batched = (jax.default_backend() == "tpu" and all_batched
+                   and n_x <= 16 and exp.f_x.dtype == jnp.float32
+                   and axis_size >= 16 and N <= 2048)
+    if use_batched:
+        reg_arr = reg if reg_b else jnp.broadcast_to(
+            jnp.asarray(reg, exp.f_x.dtype), (axis_size,))
+        return backward_pass_batched(exp, reg_arr), (True, True, True, True)
+    from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
+
+    in_axes = (jax.tree_util.tree_map(lambda b: 0 if b else None, exp_b),
+               0 if reg_b else None)
+    out = jax.vmap(backward_pass_pallas_fused, in_axes=in_axes)(exp, reg)
+    return out, (True, True, True, True)
+
+
 # ---------------------------------------------------------------------------
 # Batched sequential rollout kernels: batch (and line-search candidates) on
 # the VPU tiles, time on the sequential grid.  The model's step/stage_cost

@@ -286,6 +286,14 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         n_x = exp.v_x.shape[-1]
         N = exp.l_u.shape[0]
         on_tpu = jax.default_backend() == "tpu"
+        # The N >= 256 threshold was re-probed in round 4 after the fused
+        # kernel sped up 1.7x: STANDALONE slope timings say fused wins from
+        # N ~ 32 (5.5 us vs 1020 us at N=200), but inside the MPC step scan
+        # the sequential backward pipelines with the surrounding program
+        # and lowering the threshold to 32 made the RTI step 2.3x SLOWER
+        # (0.27 -> 0.61 ms/step).  Stage-by-stage numbers on this machine
+        # are not trustworthy (NOTES.md); the threshold stays where the
+        # end-to-end MPC metrics are best.
         if on_tpu and n_x <= 16 and N >= 256:
             backward = "pallas"
         elif on_tpu and N >= 256:
@@ -302,9 +310,15 @@ def _backward(exp, U, reg, config: IlqrConfig, hess=None, noise=None):
         # kernel otherwise.
         n_u = exp.l_u.shape[-1]
         if n_u <= 6:
-            from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas_fused
+            # custom_vmap wrapper: vmapping the fused kernel gives each
+            # instance an underfilled per-instance block (12% tile fill at
+            # N=128) — under vmap(solve) the batched sequential kernel is
+            # the right engine for the B-large/N-moderate corner.
+            from ilqr_tpu.ops.pallas_batched import (
+                backward_pass_fused_smart,
+            )
 
-            return backward_pass_pallas_fused(exp, reg)
+            return backward_pass_fused_smart(exp, reg)
         from ilqr_tpu.ops.pallas_riccati import backward_pass_pallas
 
         return backward_pass_pallas(exp, reg)
