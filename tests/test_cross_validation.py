@@ -226,3 +226,40 @@ def test_collocation_matches_analytic_lqr():
         1.0, abs(float(lqr.cost)))
     assert float(np.max(np.abs(np.asarray(sol_c.U)
                                - np.asarray(lqr.U)))) < 1e-4
+
+
+def test_collocation_overlays_ilqr_ua_double_pendulum():
+    """The reference's HARDEST workload (underactuated DP swing-up,
+    `run_iLQR_OL_UA_Pendulum.py:16-71`: dt=0.01, T=8, N=800, maxiter=700,
+    backward_euler) — completing the robustness matrix over the reference
+    problem family (pendulum, DP, UA-DP, linear).
+
+    Overlay-style check, exactly the reference's acceptance criterion
+    (`nonlinear_iLQR.m:104-141` plots both solvers on shared axes): the
+    independent transcription refined from the iLQR solution must stay on
+    the same optimum.  The KKT gate is looser than the explicit-integrator
+    problems because the 'step' defect goes through the implicit
+    backward-Euler step, whose fixed-iteration Newton solution (and hence
+    the IFT Jacobians) carries an O(residual) floor into the stationarity
+    system."""
+    from ilqr_tpu.collocation import solve_collocation
+
+    sys_ = it.make_double_pendulum(
+        0.01, [jnp.pi, 0.0, 0.0, 0.0],
+        Q=jnp.diag(jnp.array([1.0, 1.0, 0.1, 0.1])),
+        R=jnp.diag(jnp.array([1.0])),
+        Q_f=jnp.diag(jnp.array([1000.0, 1000.0, 100.0, 100.0])),
+        d1=0.1, d2=0.1, theta1=1 / 12, theta2=1 / 12,
+        underactuated=True, integrator="backward_euler",
+    )
+    x0 = jnp.zeros(4)
+    sol_i = it.solve(sys_, x0, jnp.zeros((800, 1)),
+                     it.IlqrConfig(maxiter=700, tol=1e-5))
+    assert int(sol_i.status) == it.CONVERGED
+    sol_c = solve_collocation(sys_, x0, sol_i.U, defect="step", maxiter=120,
+                              tol=1e-5, damping=1e-2, X_init=sol_i.X)
+    assert float(sol_c.kkt_residual) < 5e-3
+    assert abs(float(sol_c.cost) - float(sol_i.cost)) < 1e-3 * max(
+        1.0, abs(float(sol_i.cost)))
+    assert float(np.max(np.abs(
+        np.asarray(sol_i.X) - np.asarray(sol_c.X, dtype=np.float32)))) < 0.1
